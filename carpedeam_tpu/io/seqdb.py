@@ -1,0 +1,196 @@
+"""Sequence database: packed array store with MMseqs2-DB interop.
+
+The reference moves all state between pipeline stages through mmap'd
+"MMseqs2 DBs" (flat records + `key offset length [wasExtended]` index;
+lib/mmseqs/src/commons/DBReader.cpp:808-817, DBWriter.cpp:415-424).  The
+TPU-native equivalent is a CSR-style array store:
+
+    data     uint8   flat concatenated sequence bytes (raw ASCII)
+    offsets  int64   start of each record in `data`
+    lengths  int64   sequence length (no terminators)
+    keys     uint32  stable record keys (survive filtering)
+    ext      bool    the CarpeDeam `wasExtended` / "is contig" flag
+
+Stages are pure SeqDB -> SeqDB functions; `save`/`load` give the same
+stage-granular checkpoint contract as the reference's on-disk DBs, and
+`read_mmseqs`/`write_mmseqs` allow golden-testing against the reference
+binary's intermediate files.
+"""
+from __future__ import annotations
+
+import gzip
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class SeqDB:
+    data: np.ndarray                 # uint8 flat
+    offsets: np.ndarray              # int64 (n,)
+    lengths: np.ndarray              # int64 (n,)
+    keys: np.ndarray                 # uint32 (n,)
+    ext: np.ndarray                  # bool (n,)
+    headers: list | None = None      # optional per-record header strings
+    dbtype: int = 1                  # 1 = nucleotides (Parameters::DBTYPE_NUCLEOTIDES)
+
+    # ------------------------------------------------------------------ basic
+    def __len__(self) -> int:
+        return len(self.offsets)
+
+    def seq_bytes(self, i: int) -> np.ndarray:
+        o = self.offsets[i]
+        return self.data[o:o + self.lengths[i]]
+
+    def seq_str(self, i: int) -> str:
+        return self.seq_bytes(i).tobytes().decode("ascii")
+
+    def key_to_id(self) -> dict:
+        return {int(k): i for i, k in enumerate(self.keys)}
+
+    @property
+    def total_residues(self) -> int:
+        """Sum of sequence lengths == DBReader::getAminoAcidDBSize for a
+        nucleotide DB (used as the e-value database size)."""
+        return int(self.lengths.sum())
+
+    # ------------------------------------------------------------- construction
+    @staticmethod
+    def from_sequences(seqs, keys=None, ext=None, headers=None) -> "SeqDB":
+        bs = [s.encode("ascii") if isinstance(s, str) else bytes(s) for s in seqs]
+        lengths = np.array([len(b) for b in bs], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64) \
+            if len(bs) else np.zeros(0, dtype=np.int64)
+        data = np.frombuffer(b"".join(bs), dtype=np.uint8).copy() \
+            if len(bs) else np.zeros(0, dtype=np.uint8)
+        n = len(bs)
+        keys = np.arange(n, dtype=np.uint32) if keys is None else np.asarray(keys, dtype=np.uint32)
+        ext = np.zeros(n, dtype=bool) if ext is None else np.asarray(ext, dtype=bool)
+        return SeqDB(data, offsets, lengths, keys, ext, headers)
+
+    def select(self, idx) -> "SeqDB":
+        """Sub-DB of rows `idx` (createsubdb equivalent)."""
+        idx = np.asarray(idx)
+        seqs = [self.seq_bytes(int(i)) for i in idx]
+        headers = [self.headers[int(i)] for i in idx] if self.headers else None
+        return SeqDB.from_sequences(
+            [bytes(s) for s in seqs], keys=self.keys[idx], ext=self.ext[idx],
+            headers=headers)
+
+    # ------------------------------------------------------------ fasta/fastq
+    @staticmethod
+    def from_fastx(path: str, shuffle: bool = True) -> "SeqDB":
+        """FASTA/FASTQ(.gz) ingest (createdb equivalent,
+        lib/mmseqs/src/util/createdb.cpp).
+
+        `shuffle=True` replicates createdb's default --shuffle: records are
+        distributed round-robin over 32 split writers by input index
+        (splitIdx = id % 32; createdb.cpp:60,221) and the splits are
+        concatenated, with keys renumbered 0..N-1 in merged order.  The
+        resulting permutation is what gives the reference its record
+        numbering, which downstream tie-breaks depend on."""
+        opener = gzip.open if path.endswith(".gz") else open
+        seqs, headers = [], []
+        with opener(path, "rt") as fh:
+            first = fh.read(1)
+            fh.seek(0)
+            if first == ">":
+                cur = []
+                for line in fh:
+                    line = line.rstrip("\n")
+                    if line.startswith(">"):
+                        if cur:
+                            seqs.append("".join(cur))
+                            cur = []
+                        headers.append(line[1:])
+                    else:
+                        cur.append(line)
+                if cur:
+                    seqs.append("".join(cur))
+            elif first == "@":
+                while True:
+                    h = fh.readline()
+                    if not h:
+                        break
+                    s = fh.readline().rstrip("\n")
+                    fh.readline()  # +
+                    fh.readline()  # qual
+                    headers.append(h.rstrip("\n")[1:])
+                    seqs.append(s)
+            else:
+                raise ValueError(f"{path}: not FASTA/FASTQ")
+        if shuffle and seqs:
+            n = len(seqs)
+            perm = np.concatenate([np.arange(s, n, 32) for s in range(32)])
+            seqs = [seqs[int(i)] for i in perm]
+            headers = [headers[int(i)] for i in perm]
+        return SeqDB.from_sequences(seqs, headers=headers)
+
+    def to_fasta(self, path: str, headers=None) -> None:
+        """convert2fasta equivalent."""
+        hs = headers or self.headers
+        with open(path, "w") as fh:
+            for i in range(len(self)):
+                h = hs[i] if hs else str(int(self.keys[i]))
+                fh.write(f">{h}\n{self.seq_str(i)}\n")
+
+    # ------------------------------------------------------------- checkpoints
+    def save(self, prefix: str) -> None:
+        np.savez(prefix + ".npz", data=self.data, offsets=self.offsets,
+                 lengths=self.lengths, keys=self.keys, ext=self.ext,
+                 dbtype=np.int64(self.dbtype))
+        if self.headers is not None:
+            with open(prefix + ".headers", "w") as fh:
+                for h in self.headers:
+                    fh.write(h + "\n")
+
+    @staticmethod
+    def load(prefix: str) -> "SeqDB":
+        z = np.load(prefix + ".npz")
+        headers = None
+        if os.path.exists(prefix + ".headers"):
+            with open(prefix + ".headers") as fh:
+                headers = [l.rstrip("\n") for l in fh]
+        return SeqDB(z["data"], z["offsets"], z["lengths"], z["keys"],
+                     z["ext"].astype(bool), headers, int(z["dbtype"]))
+
+    # -------------------------------------------------------- mmseqs interop
+    @staticmethod
+    def read_mmseqs(db_path: str) -> "SeqDB":
+        """Read a reference on-disk DB (data + .index, optional 4th
+        wasExtended column) for golden tests."""
+        entries = []
+        with open(db_path + ".index") as fh:
+            for line in fh:
+                parts = line.split()
+                key, off, ln = int(parts[0]), int(parts[1]), int(parts[2])
+                we = int(parts[3]) if len(parts) > 3 else 0
+                entries.append((key, off, ln, we))
+        raw = np.fromfile(db_path, dtype=np.uint8)
+        seqs, keys, ext = [], [], []
+        for key, off, ln, we in entries:
+            rec = raw[off:off + ln]
+            # records end with '\n\0' (sequences) or '\0' (results)
+            end = len(rec)
+            while end > 0 and rec[end - 1] in (0, 10):
+                end -= 1
+            seqs.append(bytes(rec[:end]))
+            keys.append(key)
+            ext.append(bool(we))
+        return SeqDB.from_sequences(seqs, keys=np.array(keys, dtype=np.uint32),
+                                    ext=np.array(ext, dtype=bool))
+
+    @staticmethod
+    def read_mmseqs_records(db_path: str) -> dict[int, str]:
+        """Read a reference result DB as {key: record-text} (for prefilter /
+        alignment DB golden tests)."""
+        out = {}
+        with open(db_path + ".index") as fh:
+            entries = [line.split() for line in fh]
+        with open(db_path, "rb") as fh:
+            raw = fh.read()
+        for parts in entries:
+            key, off, ln = int(parts[0]), int(parts[1]), int(parts[2])
+            out[key] = raw[off:off + ln].rstrip(b"\x00").decode("ascii")
+        return out
