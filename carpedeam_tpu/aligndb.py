@@ -125,7 +125,11 @@ class AlnDB:
             lines = []
             for i in range(sl.start, sl.stop):
                 sid = c["seq_id"][i]
-                sid_txt = "1.000" if sid == 1.0 else \
+                # "1.00" not "1.000": fastSeqIdToBuffer returns a pointer AT
+                # its '\0' (not past it), so resultToBuffer's tab overwrite
+                # eats the final '0' for the 1.0 case (Util.cpp:fastSeqIdTo-
+                # Buffer + Matcher.cpp:358-360)
+                sid_txt = "1.00" if sid == 1.0 else \
                     "0." + ("%03d" % int(np.float32(sid) * np.float32(1000.0)))
                 lines.append("%d\t%d\t%s\t%.3E\t%d\t%d\t%d\t%d\t%d\t%d\n" % (
                     c["tkey"][i], c["score"][i], sid_txt, c["eval"][i],

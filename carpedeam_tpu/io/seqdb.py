@@ -157,6 +157,22 @@ class SeqDB:
 
     # -------------------------------------------------------- mmseqs interop
     @staticmethod
+    def _read_mmseqs_data(db_path: str) -> np.ndarray:
+        """Raw data bytes of a reference DB; multi-file DBs (db.0 .. db.N,
+        per-thread writers left unmerged) are concatenated in order, which
+        is how DBReader addresses them (global offsets)."""
+        if os.path.exists(db_path):
+            return np.fromfile(db_path, dtype=np.uint8)
+        parts = []
+        i = 0
+        while os.path.exists(f"{db_path}.{i}"):
+            parts.append(np.fromfile(f"{db_path}.{i}", dtype=np.uint8))
+            i += 1
+        if not parts:
+            raise FileNotFoundError(db_path)
+        return np.concatenate(parts)
+
+    @staticmethod
     def read_mmseqs(db_path: str) -> "SeqDB":
         """Read a reference on-disk DB (data + .index, optional 4th
         wasExtended column) for golden tests."""
@@ -167,7 +183,7 @@ class SeqDB:
                 key, off, ln = int(parts[0]), int(parts[1]), int(parts[2])
                 we = int(parts[3]) if len(parts) > 3 else 0
                 entries.append((key, off, ln, we))
-        raw = np.fromfile(db_path, dtype=np.uint8)
+        raw = SeqDB._read_mmseqs_data(db_path)
         seqs, keys, ext = [], [], []
         for key, off, ln, we in entries:
             rec = raw[off:off + ln]
@@ -188,8 +204,7 @@ class SeqDB:
         out = {}
         with open(db_path + ".index") as fh:
             entries = [line.split() for line in fh]
-        with open(db_path, "rb") as fh:
-            raw = fh.read()
+        raw = SeqDB._read_mmseqs_data(db_path).tobytes()
         for parts in entries:
             key, off, ln = int(parts[0]), int(parts[1]), int(parts[2])
             out[key] = raw[off:off + ln].rstrip(b"\x00").decode("ascii")
