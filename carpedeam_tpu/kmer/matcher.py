@@ -158,8 +158,31 @@ def extract_selected_kmers(seqdb: SeqDB, k: int, kmers_per_sequence: int,
     return out
 
 
+def can_be_covered(cov_thr: float, cov_mode: int, qlen, tlen):
+    """Util::canBeCovered (lib/mmseqs/src/commons/Util.cpp)."""
+    if cov_thr <= 0.0:
+        return np.ones(np.shape(qlen), dtype=bool) if np.ndim(qlen) else True
+    q = np.asarray(qlen, dtype=np.float32)
+    t = np.asarray(tlen, dtype=np.float32)
+    if cov_mode == 0:
+        return (q / t >= cov_thr) & (t / q >= cov_thr)
+    if cov_mode == 2:
+        return t / q >= cov_thr
+    if cov_mode == 1:
+        return q / t >= cov_thr
+    if cov_mode == 3:
+        return (t / q >= cov_thr) & (t / q <= 1.0)
+    if cov_mode == 4:
+        return (q / t >= cov_thr) & (q / t <= 1.0)
+    if cov_mode == 5:
+        mn, mx = np.minimum(t, q), np.maximum(t, q)
+        return mn / mx >= cov_thr
+    return np.ones(np.shape(q), dtype=bool)
+
+
 def assign_groups(kmer: np.ndarray, ids: np.ndarray, pos: np.ndarray,
-                  seq_len: np.ndarray, include_only_extendable: bool):
+                  seq_len: np.ndarray, include_only_extendable: bool,
+                  cov_mode: int = 0, cov_thr: float = 0.0):
     """Vectorised assignGroup (kmermatcher.cpp:453-562).
 
     Input arrays must be sorted by (kmer|bit63, seqLen desc, id, pos).
@@ -197,9 +220,11 @@ def assign_groups(kmer: np.ndarray, ids: np.ndarray, pos: np.ndarray,
     diagonal = (q_pos - t_pos_adj).astype(np.int64)
 
     can_be_extended = (diagonal < 0) | (diagonal > (rep_len - t_len))
+    covered = can_be_covered(cov_thr, cov_mode, rep_len, t_len)
     if include_only_extendable:
         keep &= can_be_extended
-    # covThr == 0 -> canBeCovered always true in the assembly pipeline
+    else:
+        keep &= covered
 
     centre_id = ids[rep_idx][keep]
     centre_fwd = ~q_needs_rev[keep]
@@ -212,7 +237,8 @@ def assign_groups(kmer: np.ndarray, ids: np.ndarray, pos: np.ndarray,
 def kmermatcher(seqdb: SeqDB, k: int, kmers_per_sequence: int,
                 kmers_per_sequence_scale: float,
                 include_only_extendable: bool,
-                hash_shift: int = 67) -> PrefDB:
+                hash_shift: int = 67, cov_mode: int = 0,
+                cov_thr: float = 0.0) -> PrefDB:
     """Full single-shard kmermatcher stage -> prefilter hit table."""
     ent = extract_selected_kmers(seqdb, k, kmers_per_sequence,
                                  kmers_per_sequence_scale, hash_shift)
@@ -225,7 +251,7 @@ def kmermatcher(seqdb: SeqDB, k: int, kmers_per_sequence: int,
     seq_len = ent["seq_len"][order]
 
     centre_id, centre_fwd, member_id, diagonal, member_len = assign_groups(
-        kmer, ids, pos, seq_len, include_only_extendable)
+        kmer, ids, pos, seq_len, include_only_extendable, cov_mode, cov_thr)
 
     return build_pref_db(seqdb, centre_id, centre_fwd, member_id, diagonal)
 

@@ -1,0 +1,161 @@
+"""Assembly pipeline drivers: nuclassemble and ancient_assemble.
+
+Python re-design of the reference's shell-script orchestration
+(data/nuclassemble.sh, data/guidedNuclAssemble.sh): the same iterative
+loop, with on-disk stage checkpoints (.done-file contract) so interrupted
+runs resume at stage granularity.
+
+ancient_assemble == guidedNuclAssemble: mergereads/createdb -> nuclassemble
+(N iterations: read phase then contig phase with cycle detection) ->
+linclust redundancy reduction -> result2repseq -> headers -> FASTA.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .aligndb import AlnDB, PrefDB
+from .damage import DamageModel
+from .io.seqdb import SeqDB
+from .kmer.matcher import kmermatcher
+from .params import Params
+from .stages.contig_merge import contig_merge
+from .stages.correction import correction
+from .stages.cyclecheck import cyclecheck
+from .stages.read_assembly import read_assembly
+from .stages.rescorediagonal import rescorediagonal
+
+
+class Checkpointer:
+    """Stage-granular checkpoints: each stage saves under tmp/<name> and a
+    <name>.done marker (the reference's notExists/.done contract)."""
+
+    def __init__(self, tmp_dir: str | None):
+        self.tmp = tmp_dir
+        if tmp_dir:
+            os.makedirs(tmp_dir, exist_ok=True)
+
+    def path(self, name):
+        return os.path.join(self.tmp, name) if self.tmp else None
+
+    def done(self, name):
+        return self.tmp and os.path.exists(self.path(name) + ".done")
+
+    def mark(self, name):
+        if self.tmp:
+            with open(self.path(name) + ".done", "w"):
+                pass
+
+    def run(self, name, fn, loader, saver):
+        """Run `fn` unless checkpointed; (loader/saver)(prefix)."""
+        if self.done(name):
+            return loader(self.path(name))
+        result = fn()
+        if self.tmp:
+            saver(result, self.path(name))
+            self.mark(name)
+        return result
+
+
+def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
+                 tmp_dir: str | None = None, progress=None):
+    """The inner assembly loop (data/nuclassemble.sh:97-233).
+
+    Returns (result SeqDB, cycle_all keys set, source SeqDB).
+    """
+    ck = Checkpointer(tmp_dir)
+    log = progress or (lambda *_: None)
+    cur = reads
+    cycle_all: dict[int, bytes] = {}   # accumulated circular contigs
+    cycle_ext: dict[int, bool] = {}
+
+    for step in range(params.num_iterations):
+        read_phase = step < params.num_iterations_reads
+        name = f"assembly_{'reads' if read_phase else 'contigs'}_{step}"
+        if ck.done(name):
+            cur = SeqDB.load(ck.path(name))
+            if not read_phase and ck.done(f"cycle_{step}"):
+                cyc = SeqDB.load(ck.path(f"cycle_{step}"))
+                for j in range(len(cyc)):
+                    cycle_all[int(cyc.keys[j])] = bytes(cyc.seq_bytes(j))
+                    cycle_ext[int(cyc.keys[j])] = bool(cyc.ext[j])
+                keep = ~np.isin(cur.keys, cyc.keys)
+                cur = cur.select(np.nonzero(keep)[0])
+            log(f"step {step}: restored from checkpoint")
+            continue
+
+        if read_phase:
+            pref = kmermatcher(cur, params.kmer_size_reads,
+                               params.kmers_per_sequence,
+                               params.kmers_per_sequence_scale,
+                               params.include_only_extendable_reads,
+                               params.hash_shift)
+            aln = rescorediagonal(cur, pref, params.seq_id_thr,
+                                  params.eval_thr, params.aln_len_thr)
+            corr = correction(cur, aln, damage, params.corr_reads_ry_seq_id,
+                              params.seq_id_thr)
+            nxt = read_assembly(corr, aln, damage, params.seq_id_thr,
+                                params.ry_seq_id_thr,
+                                params.likelihood_threshold,
+                                params.random_align_penal,
+                                params.excess_penal, params.max_seq_len)
+        else:
+            pref = kmermatcher(cur, params.kmer_size_contigs,
+                               params.kmers_per_sequence,
+                               params.kmers_per_sequence_scale,
+                               params.include_only_extendable_contigs,
+                               params.hash_shift)
+            aln = rescorediagonal(cur, pref, params.corr_contig_seq_id,
+                                  params.eval_thr, params.aln_len_thr)
+            corr = correction(cur, aln, damage, params.corr_reads_ry_seq_id,
+                              params.corr_contig_seq_id)
+            nxt = contig_merge(corr, aln, damage, params.merge_seq_id_thr,
+                               params.ry_seq_id_thr, params.max_seq_len)
+
+        if ck.tmp:
+            nxt.save(ck.path(name))
+            ck.mark(name)
+        log(f"step {step}: {'reads' if read_phase else 'contigs'} "
+            f"n={len(nxt)} extended={int(nxt.ext.sum())}")
+        cur = nxt
+
+        if not read_phase and params.cycle_check:
+            cyc, none_cyc = cyclecheck(cur, k=22, chop=params.chop_cycle,
+                                       max_seq_len=params.max_seq_len)
+            if ck.tmp:
+                cyc.save(ck.path(f"cycle_{step}"))
+                ck.mark(f"cycle_{step}")
+            if len(cyc):
+                for j in range(len(cyc)):
+                    cycle_all[int(cyc.keys[j])] = bytes(cyc.seq_bytes(j))
+                    cycle_ext[int(cyc.keys[j])] = bool(cyc.ext[j])
+                log(f"step {step}: {len(cyc)} circular contigs set aside")
+                cur = none_cyc
+
+    # EPILOGUE (nuclassemble.sh:201-233)
+    # RESULT = last contig assembly minus cycles, plus all accumulated cycles
+    if cycle_all:
+        seqs = [cur.seq_bytes(j) for j in range(len(cur))]
+        keys = list(cur.keys)
+        ext = list(cur.ext)
+        for k_, s in cycle_all.items():
+            seqs.append(np.frombuffer(s, dtype=np.uint8))
+            keys.append(k_)
+            ext.append(cycle_ext[k_])
+        result = SeqDB.from_sequences([bytes(s) for s in seqs],
+                                      keys=np.array(keys, dtype=np.uint32),
+                                      ext=np.array(ext, dtype=bool))
+    else:
+        result = cur
+
+    # only-assembled filter: output length strictly greater than source
+    src_len = {int(reads.keys[j]): int(reads.lengths[j])
+               for j in range(len(reads))}
+    keep = [j for j in range(len(result))
+            if int(result.lengths[j]) > src_len.get(int(result.keys[j]), -1)
+            and int(result.lengths[j]) > params.min_contig_len - 1]
+    result = result.select(np.array(keep, dtype=np.int64)) if keep \
+        else SeqDB.from_sequences([])
+    cycle_keys = set(cycle_all.keys()) & set(int(k) for k in result.keys)
+    return result, cycle_keys, reads

@@ -1,0 +1,79 @@
+"""Contig-phase tests: Beta comparator, cyclecheck, and full-pipeline golden
+parity (uses work/example_tmp checkpoints when present to avoid re-running
+the 3-minute pipeline)."""
+import os
+
+import numpy as np
+import pytest
+
+from carpedeam_tpu.damage import DamageModel
+from carpedeam_tpu.io import SeqDB
+from carpedeam_tpu.stages.contig_merge import _beta_less, _Cand
+from carpedeam_tpu.stages.cyclecheck import check_one, cyclecheck
+
+from conftest import golden_tmp, needs_golden
+
+GOLDEN_BASE = "/root/repo/.golden/tmp2/16650126067619639924"
+CKPT = "/root/repo/work/example_tmp"
+
+
+def _cand(aln_len_cons, deam_match):
+    c = _Cand(0, 0, 0, 0, 0, 0, 0, 0, False)
+    c.aln_len_cons = aln_len_cons
+    c.deam_match = deam_match
+    return c
+
+
+def test_beta_comparator_orders_by_mismatch_rate():
+    clean = _cand(1000, 995.0)   # ~5 damage-corrected mismatches
+    dirty = _cand(1000, 900.0)   # ~100 mismatches
+    # priority queue: comp(a, b) == "a worse than b"
+    assert _beta_less(dirty, clean)
+    assert not _beta_less(clean, dirty)
+
+
+def test_beta_comparator_tie_by_length():
+    short = _cand(100, 99.0)
+    long_ = _cand(1000, 990.0)
+    # similar rates -> longer overlap wins
+    assert _beta_less(short, long_) or not _beta_less(long_, short)
+
+
+def test_cyclecheck_detects_circular():
+    rng = np.random.default_rng(7)
+    unit = "".join("ACGT"[i] for i in rng.integers(0, 4, 300))
+    circular = (unit * 2 + unit[:80]).encode()  # heavily terminally redundant
+    linear = "".join("ACGT"[i] for i in rng.integers(0, 4, 680)).encode()
+    res = check_one(np.frombuffer(circular, dtype=np.uint8))
+    assert res is not None and len(res) < len(circular)
+    assert check_one(np.frombuffer(linear, dtype=np.uint8)) is None
+
+
+def test_cyclecheck_split():
+    rng = np.random.default_rng(8)
+    unit = "".join("ACGT"[i] for i in rng.integers(0, 4, 300))
+    db = SeqDB.from_sequences([unit * 2 + unit[:100],
+                               "".join("ACGT"[i] for i in rng.integers(0, 4, 700))])
+    cyc, none_cyc = cyclecheck(db)
+    assert len(cyc) == 1 and len(none_cyc) == 1
+    assert int(cyc.keys[0]) == 0 and int(none_cyc.keys[0]) == 1
+
+
+@needs_golden
+@pytest.mark.skipif(not os.path.exists(CKPT), reason="pipeline checkpoints absent")
+def test_golden_full_nuclassemble():
+    """Full 10-iteration nuclassemble == reference nuclassembly DB
+    (restores from work/example_tmp checkpoints created by a prior run)."""
+    from carpedeam_tpu.params import Params, apply_nuclassemble_defaults
+    from carpedeam_tpu.pipeline import nuclassemble
+    db = SeqDB.from_fastx("/root/reference/example/test_data.fq.gz")
+    dm = DamageModel.load("/root/reference/example/dhigh")
+    p = apply_nuclassemble_defaults(Params()).copy(
+        num_iterations=10, num_iterations_reads=5, max_seq_len=200000)
+    result, cycle_keys, _ = nuclassemble(db, p, dm, tmp_dir=CKPT)
+    gold = SeqDB.read_mmseqs(os.path.join(GOLDEN_BASE, "nuclassembly"))
+    gmap = {int(gold.keys[j]): j for j in range(len(gold))}
+    assert len(result) == len(gold)
+    for i in range(len(result)):
+        j = gmap[int(result.keys[i])]
+        assert result.seq_str(i) == gold.seq_str(j)
