@@ -159,3 +159,53 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
         else SeqDB.from_sequences([])
     cycle_keys = set(cycle_all.keys()) & set(int(k) for k in result.keys)
     return result, cycle_keys, reads
+
+
+def ancient_assemble(reads: SeqDB, params: Params, damage: DamageModel,
+                     out_fasta: str | None = None, tmp_dir: str | None = None,
+                     progress=None):
+    """The `ancient_assemble` (guidedNuclAssemble) workflow: nuclassemble
+    with the guided parameter overrides, linclust redundancy reduction,
+    representative extraction, headers and FASTA output
+    (data/guidedNuclAssemble.sh:177-225, src/workflow/GuidedNuclassembler.cpp).
+
+    Returns the final SeqDB of representative contigs (key order), with
+    headers '<rank> len:<len>[ cycle:<0|1>]'.
+    """
+    from .stages.linclust import linclust
+
+    log = progress or (lambda *_: None)
+    # guided overrides of the inner nuclassemble defaults
+    # (GuidedNuclassembler.cpp:12-31,170-180: numIterations 10 via
+    # multiNumIterations.nucleotides, reads-only count stays at the CLI
+    # default 5, maxSeqLen 200000)
+    p = params.copy(num_iterations=10, num_iterations_reads=5,
+                    max_seq_len=200000)
+    assembly, cycle_keys, _ = nuclassemble(
+        reads, p, damage,
+        tmp_dir=os.path.join(tmp_dir, "nuclassembly_tmp") if tmp_dir else None,
+        progress=progress)
+    log(f"nuclassemble: {len(assembly)} contigs, {len(cycle_keys)} circular")
+
+    # redundancy reduction
+    clusters = linclust(assembly, p.clust_seq_id_thr, p.clust_cov_thr,
+                        p.clust_cov_mode)
+    rep_keys = sorted(clusters.keys())
+    key2id = assembly.key_to_id()
+    rep = assembly.select(np.array([key2id[k] for k in rep_keys],
+                                   dtype=np.int64))
+    log(f"linclust: {len(rep)} representative contigs")
+
+    # headers: '<rank-in-key-order> len:<len>' + cycle flag when circular
+    # contigs exist (createhdb.cpp:47-68)
+    has_cycles = any(k in cycle_keys for k in rep_keys)
+    headers = []
+    for idx, k in enumerate(rep_keys):
+        h = f"{idx} len:{int(rep.lengths[idx])}"
+        if has_cycles:
+            h += f" cycle:{1 if k in cycle_keys else 0}"
+        headers.append(h)
+    rep.headers = headers
+    if out_fasta:
+        rep.to_fasta(out_fasta)
+    return rep
