@@ -88,6 +88,118 @@ def _select_kmers_for_seq(canon: np.ndarray, hashes: np.ndarray,
     return np.array(selected, dtype=np.int64)
 
 
+def extract_selected_kmers_batched(seqdb: SeqDB, k: int,
+                                   kmers_per_sequence: int,
+                                   kmers_per_sequence_scale: float,
+                                   hash_shift: int, hash_range=None):
+    """Vectorised whole-database k-mer extraction + native selection walk.
+
+    Packs/canonicalises/hashes every window of every sequence in flat
+    vector ops (sequence-boundary windows masked), sorts all entries with
+    one lexsort keyed by sequence, and runs the sequential subsampling walk
+    in the native batch kernel (carpedeam_tpu/native).  Semantically
+    identical to extract_selected_kmers (oracle-tested)."""
+    from ..kmer.xxh64 import util_hash_codes_batch
+    from .. import native
+
+    n_seqs = len(seqdb)
+    if n_seqs == 0:
+        return {k_: np.zeros(0, dt) for k_, dt in
+                (("kmer", np.uint64), ("id", np.int64), ("pos", np.int32),
+                 ("seq_len", np.int32), ("h16", np.uint16))}
+    codes_flat = CHAR_TO_CODE[seqdb.data]
+    offsets = seqdb.offsets
+    lengths = seqdb.lengths
+    total = len(codes_flat)
+
+    # ---- identity entries (whole-sequence hash) -------------------------
+    seq_hash = xxh64_u64(util_hash_codes_batch(codes_flat, offsets, lengths),
+                         hash_shift)
+
+    # ---- all windows, flat ----------------------------------------------
+    n_win = total - k + 1
+    if n_win > 0:
+        c64 = codes_flat.astype(np.uint64)
+        idx = np.zeros(n_win, dtype=np.uint64)
+        for j in range(k):
+            idx = (idx << np.uint64(2)) if j else idx
+            idx = idx | c64[j:j + n_win]
+        isx = (codes_flat > 3).astype(np.int32)
+        csum = np.concatenate([[0], np.cumsum(isx)])
+        no_x = (csum[k:] - csum[:-k]) == 0
+        # window seq membership: start position's sequence, and window must
+        # not cross the sequence end
+        seq_of = np.searchsorted(offsets, np.arange(n_win), side="right") - 1
+        local_pos = np.arange(n_win) - offsets[seq_of]
+        inside = local_pos + k <= lengths[seq_of]
+        valid = no_x & inside
+        idx = idx[valid]
+        seq_of = seq_of[valid]
+        local_pos = local_pos[valid]
+        canon, pick_rev, palin = canonicalize(idx, k)
+        keep = ~palin
+        canon = canon[keep]
+        pick_rev = pick_rev[keep]
+        seq_of = seq_of[keep]
+        local_pos = local_pos[keep]
+        L_of = lengths[seq_of]
+        positions = np.where(pick_rev, L_of - local_pos - k,
+                             local_pos).astype(np.int32)
+        hashes = hash16(canon, hash_shift)
+        kmer_field = np.where(pick_rev, canon, canon | BIT63)
+
+        # per-seq sort: (seq, hash, kmer|b63, pos)
+        order = np.lexsort((positions, kmer_field | BIT63, hashes, seq_of))
+        kmer_field = kmer_field[order]
+        hashes = hashes[order]
+        positions = positions[order]
+        seq_of = seq_of[order]
+
+        seq_counts = np.bincount(seq_of, minlength=n_seqs)
+        seq_starts = np.concatenate([[0], np.cumsum(seq_counts)]).astype(np.int64)
+        considered = np.minimum(
+            (np.float32(kmers_per_sequence - 1)
+             + np.float32(kmers_per_sequence_scale)
+             * lengths.astype(np.float32)).astype(np.int64),
+            seq_counts.astype(np.int64))
+        sel = native.select_kmers_batch(kmer_field | BIT63, hashes,
+                                        seq_starts, considered)
+        if sel is None:  # no native toolchain: python fallback per sequence
+            sel = np.zeros(len(kmer_field), dtype=bool)
+            for s in range(n_seqs):
+                b, e = seq_starts[s], seq_starts[s + 1]
+                picked = _select_kmers_for_seq(kmer_field[b:e], hashes[b:e],
+                                               positions[b:e],
+                                               int(considered[s]))
+                sel[b + picked] = True
+        kmer_sel = kmer_field[sel]
+        h_sel = hashes[sel]
+        pos_sel = positions[sel]
+        seq_sel = seq_of[sel]
+    else:
+        kmer_sel = np.zeros(0, dtype=np.uint64)
+        h_sel = np.zeros(0, dtype=np.uint16)
+        pos_sel = np.zeros(0, dtype=np.int32)
+        seq_sel = np.zeros(0, dtype=np.int64)
+
+    # identity entries come FIRST per sequence in the reference's buffers,
+    # but global order is irrelevant (a global sort follows); concatenate.
+    out = {
+        "kmer": np.concatenate([seq_hash.astype(np.uint64), kmer_sel]),
+        "id": np.concatenate([np.arange(n_seqs, dtype=np.int64), seq_sel]),
+        "pos": np.concatenate([np.zeros(n_seqs, dtype=np.int32), pos_sel]),
+        "seq_len": np.concatenate([lengths.astype(np.int32),
+                                   lengths[seq_sel].astype(np.int32)]),
+        "h16": np.concatenate([(seq_hash & np.uint64(0xFFFF)).astype(np.uint16),
+                               h_sel]),
+    }
+    if hash_range is not None:
+        lo, hi = hash_range
+        m = (out["h16"] >= lo) & (out["h16"] <= hi)
+        out = {k_: v[m] for k_, v in out.items()}
+    return out
+
+
 def extract_selected_kmers(seqdb: SeqDB, k: int, kmers_per_sequence: int,
                            kmers_per_sequence_scale: float, hash_shift: int,
                            hash_range=None):
@@ -240,8 +352,8 @@ def kmermatcher(seqdb: SeqDB, k: int, kmers_per_sequence: int,
                 hash_shift: int = 67, cov_mode: int = 0,
                 cov_thr: float = 0.0) -> PrefDB:
     """Full single-shard kmermatcher stage -> prefilter hit table."""
-    ent = extract_selected_kmers(seqdb, k, kmers_per_sequence,
-                                 kmers_per_sequence_scale, hash_shift)
+    ent = extract_selected_kmers_batched(seqdb, k, kmers_per_sequence,
+                                         kmers_per_sequence_scale, hash_shift)
     # sort by (kmer|b63 asc, seqLen desc, id asc, pos asc)  (:409-415)
     order = np.lexsort((ent["pos"], ent["id"], -ent["seq_len"].astype(np.int64),
                         ent["kmer"] | BIT63))

