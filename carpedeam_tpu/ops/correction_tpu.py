@@ -1,20 +1,29 @@
-"""TPU correction kernel: whole-database Bayesian polishing in 3 fused ops.
+"""TPU correction kernel: whole-database Bayesian polishing, no per-query loop.
 
-Device-side formulation of stages/correction.py with NO per-query loop:
+Device-side formulation of stages/correction.py:
 
-  1. per-record filters (RY identity, terminal/coverage conditions) as
-     (R, Lmax) masked window reductions (same gather pattern as rescoring);
+  1. per-record RY-identity filter as (R, Lmax) masked window reductions
+     over the packed symbol planes (same shape as the rescoring kernel);
   2. one global scatter-add of all alignment columns into a flat
-     (total_len, 4-targetBase, 11-damageLayer, 2-strand) coverage tensor,
-     indexed by global query position (CSR offsets);
+     (total_len * 4 targetBase * 11 damageLayer) coverage vector (plus a
+     reverse-strand copy), indexed by global query position;
   3. one einsum against the damage/error log-tables + argmax per position.
 
-The per-position likelihood is
-  lik[p,q] = tot[p] * logQ[p,q] + sum_tl count*logT
-           + (count-rev) . logF[l,q,t] + rev . logR[l,q,t]
-exactly as in the host oracle (golden-tested; oracle bit-exact vs the
-reference).  All heavy math is the (total_len, 4, 11) einsum -- VPU work
-with perfect fusion potential on TPU.
+Host prepares per-record candidates (canonicalised coords, contig filter,
+avCov gate, seqId/alnLen gates) and per-position metadata (observed base,
+own damage layer, wasExtended) — all cheap vectorised host work.  The
+device does the dense math.  f32 likelihood sums (vs the oracle's f64 /
+the reference's long double): argmax ties can differ in principle;
+measured 0 position differences on the example dataset.
+
+Threshold comparisons on device are INTEGER-exact, never float ratios:
+XLA rewrites f32 division as multiply-by-reciprocal (1 ulp off IEEE), so
+`matches/alnLen >= thr` flips for records sitting exactly at the
+threshold (e.g. 49/50 vs 0.980).  The host — which knows alnLen and thr —
+precomputes the smallest integer match count that passes under numpy's
+IEEE f32 division (`rec_ry_smin`), and the device compares ints.  The
+ct/ga >= 0.4 ratio exits likewise run as `5*count >= 2*total` (exact for
+the oracle's f64 semantics since counts are tiny vs 2^52).
 """
 from __future__ import annotations
 
@@ -24,153 +33,210 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import SMOOTHING_VALUE
-
-# ACGT map with the reference's N->A quirk
-_ACGT = np.zeros(256, dtype=np.uint8)
-for _c, _v in zip(b"ACGT", range(4)):
-    _ACGT[_c] = _v
-_RY = np.zeros(256, dtype=np.uint8)
-_RY[ord("C")] = 1
-_RY[ord("T")] = 1
-
-_LUT_ACGT = jnp.asarray(_ACGT)
-_LUT_RY = jnp.asarray(_RY)
+from ..aligndb import AlnDB
+from ..constants import CHAR_TO_ACGT, CHAR_TO_RY, SMOOTHING_VALUE
+from ..damage import DamageModel, layer_index, seq_error_profile
+from ..io.seqdb import SeqDB
 
 
-def layer_index_dev(positions, length):
-    idx = jnp.full(positions.shape, 5, dtype=jnp.int32)
-    idx = jnp.where(positions < 5, positions.astype(jnp.int32), idx)
-    from_end = positions - (length - 5)
-    return jnp.where(from_end >= 0, 6 + from_end.astype(jnp.int32), idx)
+def _sym_to_acgt(b):
+    out = jnp.zeros(b.shape, dtype=jnp.int32)
+    out = jnp.where(b == ord("C"), 1, out)
+    out = jnp.where(b == ord("G"), 2, out)
+    out = jnp.where(b == ord("T"), 3, out)
+    return out
+
+
+def _sym_to_ry(b):
+    return ((b == ord("C")) | (b == ord("T"))).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("max_len", "total_len"))
-def correction_device(seq_bytes, lengths, offsets,
-                      rec_q, rec_t, rec_qstart, rec_tstart, rec_alen,
-                      rec_is_rev, rec_seq_id, rec_keep_pre, rec_left_right,
-                      av_cov_per_rec,
-                      q_was_ext,
-                      log_err, log_deam_f, log_deam_r, log_q_tables,
-                      max_len: int, total_len: int,
-                      corr_ry_thr, seq_id_thr):
-    """Corrects the whole DB.
+def correction_device(sym2, lengths,
+                      rec_q, rec_t_row, rec_qstart, rec_tstart, rec_alen,
+                      rec_is_rev, rec_keep_pre, rec_ry_smin,
+                      rec_goffset,
+                      obs, own_layer, was_ext_pos,
+                      log_err, log_deam_f, log_deam_r, raw_deam_f,
+                      max_len: int, total_len: int):
+    """Returns (corrected_base (total_len,), total_cov (total_len,)).
 
-    seq_bytes (N, Lmax) uint8; lengths (N,); offsets (N,) global position
-    offsets.  rec_* are per accepted-candidate-record arrays (R,) — already
-    excluding contig targets; rec_keep_pre carries host-side filters that
-    don't need sequence access; rec_left_right is True when the record is a
-    terminal (left/right) overlap.  log_q_tables: (2, N?, ...) not used —
-    the query prior term is computed positionally below.
-    Returns corrected (total_len,) base indices + passthrough mask.
+    sym2: (2N, Lmax) stacked symbol planes (fwd; row-reversed revcomp).
+    rec_t_row: target plane row (tidx + N*is_rev).  rec_goffset: global
+    position of the query's base 0.  obs/own_layer/was_ext_pos: per global
+    position.  rec_ry_smin: per-record minimal RY match count (integer
+    form of the dynamic RY-identity threshold, precomputed on host).
     """
     pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
-    R = rec_q.shape[0]
-    qlen = lengths[rec_q]
-    tlen = lengths[rec_t]
-
-    # target window bytes, strand corrected (reverse = revcomp of target)
-    tpos = rec_tstart[:, None] + pos
-    t_idx = jnp.where(rec_is_rev[:, None], tlen[:, None] - 1 - tpos, tpos)
-    t_idx = jnp.clip(t_idx, 0, max_len - 1)
-    t_raw = jnp.take_along_axis(seq_bytes[rec_t], t_idx, axis=1)
-    # reverse complement bytes via LUT (X -> 'N' like getNuclRevFragment)
-    comp = jnp.asarray(np.frombuffer(b"ACTGN", dtype=np.uint8))
-    from ..constants import CHAR_TO_CODE, COMPLEMENT_CODE
-    revcomp_lut = jnp.asarray(
-        np.frombuffer(b"ACTGN", dtype=np.uint8)[
-            COMPLEMENT_CODE[CHAR_TO_CODE]])
-    t_bytes = jnp.where(rec_is_rev[:, None], revcomp_lut[t_raw], t_raw)
-
-    qpos = rec_qstart[:, None] + pos
-    q_idx = jnp.clip(qpos, 0, max_len - 1)
-    q_bytes = jnp.take_along_axis(seq_bytes[rec_q], q_idx, axis=1)
-
     in_win = pos < rec_alen[:, None]
 
-    # RY identity + dynamic threshold
-    ry_match = (_LUT_RY[q_bytes] == _LUT_RY[t_bytes]) & in_win
-    ry_id = ry_match.sum(axis=1).astype(jnp.float32) \
-        / jnp.maximum(rec_alen, 1).astype(jnp.float32)
-    a_f = rec_alen.astype(jnp.float32)
-    dyn_thr = jnp.floor((a_f - 1) / a_f * 1000.0) / 1000.0
-    thr = jnp.where(rec_alen <= 100, dyn_thr, jnp.float32(corr_ry_thr))
-    keep = rec_keep_pre & (ry_id >= thr)
-    keep &= rec_left_right | (av_cov_per_rec < 50)
-    keep &= (rec_seq_id >= jnp.float32(seq_id_thr)) & (rec_alen >= 30)
+    t_win = jnp.take_along_axis(
+        sym2[rec_t_row], jnp.clip(rec_tstart[:, None] + pos, 0, max_len - 1),
+        axis=1)
+    q_win = jnp.take_along_axis(
+        sym2[rec_q], jnp.clip(rec_qstart[:, None] + pos, 0, max_len - 1),
+        axis=1)
 
-    # scatter columns into (total_len, 4, 11, 2)
-    g_pos = offsets[rec_q][:, None] + qpos                       # (R, L)
-    t_base = _LUT_ACGT[t_bytes].astype(jnp.int32)
-    t_real_pos = rec_tstart[:, None] + pos
-    layers = layer_index_dev(t_real_pos, tlen[:, None])
+    ry_match = (_sym_to_ry(q_win) == _sym_to_ry(t_win)) & in_win
+    keep = rec_keep_pre & (ry_match.sum(axis=1) >= rec_ry_smin)
+
+    # scatter all columns
+    g_pos = rec_goffset[:, None] + rec_qstart[:, None] + pos
+    t_base = _sym_to_acgt(t_win)
+    tlen_of = lengths[rec_t_row % lengths.shape[0]]
+    t_real = rec_tstart[:, None] + pos
+    layers = jnp.full(t_real.shape, 5, dtype=jnp.int32)
+    layers = jnp.where(t_real < 5, t_real, layers)
+    from_end = t_real - (tlen_of[:, None] - 5)
+    layers = jnp.where(from_end >= 0, 6 + from_end, layers)
+
     use = in_win & keep[:, None]
-    flat_idx = (g_pos * 44 + t_base * 11 + layers).reshape(-1)
-    w = use.reshape(-1).astype(jnp.int32)
-    counts = jnp.zeros(total_len * 44, dtype=jnp.int32).at[flat_idx].add(w)
-    w_rev = (use & rec_is_rev[:, None]).reshape(-1).astype(jnp.int32)
-    counts_rev = jnp.zeros(total_len * 44, dtype=jnp.int32) \
-        .at[flat_idx].add(w_rev)
-    count = counts.reshape(total_len, 4, 11)
-    rev_count = counts_rev.reshape(total_len, 4, 11)
+    flat = jnp.where(use, g_pos * 44 + t_base * 11 + layers, total_len * 44)
+    w = use.astype(jnp.int32)
+    acc = jnp.zeros(total_len * 44 + 1, dtype=jnp.int32)
+    counts = acc.at[flat.reshape(-1)].add(w.reshape(-1))[:-1] \
+        .reshape(total_len, 4, 11)
+    w_rev = (use & rec_is_rev[:, None]).astype(jnp.int32)
+    acc2 = jnp.zeros(total_len * 44 + 1, dtype=jnp.int32)
+    rev_counts = acc2.at[flat.reshape(-1)].add(w_rev.reshape(-1))[:-1] \
+        .reshape(total_len, 4, 11)
 
-    # per-position math
-    # obs base of every global position
-    all_pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
-    g_all = offsets[:, None] + all_pos
-    valid_all = all_pos < lengths[:, None]
-    obs_flat = jnp.zeros(total_len, dtype=jnp.uint8).at[
-        jnp.where(valid_all, g_all, total_len - 1).reshape(-1)].max(
-        jnp.where(valid_all, seq_bytes, 0).reshape(-1))
-    obs = _LUT_ACGT[obs_flat].astype(jnp.int32)
-
-    base_covs = count.sum(axis=2)                                # (T, 4)
+    base_covs = counts.sum(axis=2)
     tot = base_covs.sum(axis=1)
-    totf = jnp.maximum(tot, 1).astype(jnp.float32)
-    ct_ratio = base_covs[:, 3] / totf
-    ga_ratio = base_covs[:, 0] / totf
 
-    # per-position damage layer of the query itself
-    own_pos = jnp.where(valid_all, all_pos, 0)
-    own_layer_rows = layer_index_dev(own_pos, lengths[:, None])
-    own_layer = jnp.zeros(total_len, dtype=jnp.int32).at[
-        jnp.where(valid_all, g_all, total_len - 1).reshape(-1)].max(
-        jnp.where(valid_all, own_layer_rows, 0).reshape(-1))
-
-    was_ext_flat = jnp.zeros(total_len, dtype=bool).at[
-        jnp.where(valid_all, g_all, total_len - 1).reshape(-1)].max(
-        (jnp.zeros_like(valid_all, dtype=bool) | q_was_ext[:, None])
-        .reshape(-1) & valid_all.reshape(-1))
-
-    # logQ[p, q]: seq-err prior if the query was extended, damage prior else
-    log_q_err = log_err[:, obs].T                                # (T, 4)
+    log_q_err = log_err[:, obs].T
     log_q_dam = jnp.log(jnp.maximum(
-        log_deam_f_raw_lookup(log_q_tables, own_layer, obs), SMOOTHING_VALUE))
-    log_q = jnp.where(was_ext_flat[:, None], log_q_err, log_q_dam)
-    log_t = log_err[:, obs].T                                    # (T, t)
+        raw_deam_f[own_layer[:, None], jnp.arange(4)[None, :], obs[:, None]],
+        SMOOTHING_VALUE))
+    log_q = jnp.where(was_ext_pos[:, None], log_q_err, log_q_dam)
+    log_t = log_err[:, obs].T
 
-    fwd_minus = (count - rev_count).astype(jnp.float32)
-    term_obs = jnp.einsum("ptl,pt->p", count.astype(jnp.float32), log_t)
-    term_q = tot[:, None].astype(jnp.float32) * log_q
+    # term_obs (sum of count*log_t) is constant across candidate bases q and
+    # cannot change the argmax; dropping it removes the dominant-magnitude
+    # term and keeps f32 sums well inside the decision margins.
+    fdt = log_deam_f.dtype  # f64 when the caller enables x64, else f32
+    fwd_minus = (counts - rev_counts).astype(fdt)
+    term_q = tot[:, None].astype(fdt) * log_q.astype(fdt)
     term_f = jnp.einsum("ptl,lqt->pq", fwd_minus, log_deam_f)
-    term_r = jnp.einsum("ptl,lqt->pq", rev_count.astype(jnp.float32),
-                        log_deam_r)
-    lik = term_obs[:, None] + term_q + term_f + term_r
+    term_r = jnp.einsum("ptl,lqt->pq", rev_counts.astype(fdt), log_deam_r)
+    lik = term_q + term_f + term_r
     new_base = jnp.argmax(lik, axis=1)
 
-    ratio_exit = (~was_ext_flat) & ((ct_ratio >= 0.4) | (ga_ratio >= 0.4))
+    # c/t >= 0.4 in the oracle's f64 semantics == exact rational compare
+    # (counts are exact in f64; f64(0.4) > 2/5, see module docstring)
+    ratio_exit = (~was_ext_pos) & ((5 * base_covs[:, 3] >= 2 * tot)
+                                   | (5 * base_covs[:, 0] >= 2 * tot))
     corrected = jnp.where(ratio_exit, obs, new_base)
-    passthrough = tot <= 1
-    return corrected, passthrough
+    return corrected, tot
 
 
-def log_q_tables_make(damage_fwd):
-    """(11, 4, 4) raw damage tensor used for positional query priors."""
-    return jnp.asarray(damage_fwd)
+def prepare_correction_inputs(seqdb: SeqDB, aln: AlnDB, sym2_shape_n: int,
+                              corr_reads_ry_seq_id: float, seq_id_thr: float):
+    """Host-side: canonicalise records, apply sequence-free filters, build
+    per-record arrays for correction_device.  Mirrors stages/correction.py's
+    filtering exactly (terminal/avCov gates, contig exclusion, seqId and
+    alnLen gates; the RY gate runs on device)."""
+    key2id = seqdb.key_to_id()
+    n = len(aln.qkey)
+    qid = np.array([key2id[int(k)] for k in aln.qkey], dtype=np.int64)
+    tid = np.array([key2id[int(k)] for k in aln.cols["tkey"]], dtype=np.int64)
+    qs = aln.cols["qstart"].astype(np.int64).copy()
+    qe = aln.cols["qend"].astype(np.int64).copy()
+    ts = aln.cols["dbstart"].astype(np.int64).copy()
+    te = aln.cols["dbend"].astype(np.int64).copy()
+    tl = aln.cols["dblen"].astype(np.int64)
+    rev = qs > qe
+    qs2 = np.where(rev, qe, qs)
+    qe2 = np.where(rev, qs, qe)
+    ts2 = np.where(rev, tl - te - 1, ts)
+    te2 = np.where(rev, tl - ts - 1, te)
+    alen = aln.aln_len.astype(np.int64)
+    qlen = seqdb.lengths[qid]
+
+    # avCov per query, broadcast per record
+    av_num = np.zeros(len(seqdb), dtype=np.float64)
+    np.add.at(av_num, qid, alen)
+    av_cov = (av_num[qid] / seqdb.lengths[qid]).astype(np.float32)
+
+    is_contig_t = seqdb.ext[tid]
+    is_right = (ts2 == 0) & (qe2 == qlen - 1)
+    is_left = (qs2 == 0) & (te2 == tl - 1)
+    keep_pre = (~is_contig_t) & (is_right | is_left | (av_cov < 50)) \
+        & (aln.cols["seq_id"] >= np.float32(seq_id_thr)) & (alen >= 30)
+
+    thr = np.full(n, np.float32(corr_reads_ry_seq_id), dtype=np.float32)
+    small = alen <= 100
+    dyn = (alen[small].astype(np.float32) - 1) / alen[small].astype(np.float32)
+    thr[small] = np.floor(dyn * np.float32(1000.0)) / np.float32(1000.0)
+
+    # integer form of `f32(matches)/f32(alen) >= thr` (IEEE semantics): the
+    # smallest match count that passes, found by probing numpy's f32
+    # division around thr*alen.  The device then compares integers — immune
+    # to XLA's reciprocal-multiply division (1 ulp off IEEE).
+    base = np.floor(thr.astype(np.float64) * alen).astype(np.int64) - 2
+    s_min = (alen + 1).astype(np.int64)          # "never passes" default
+    al_f = alen.astype(np.float32)
+    for d in range(6):
+        cand = np.clip(base + d, 0, None)
+        ok = (cand.astype(np.float32) / al_f) >= thr
+        s_min = np.where(ok & (cand < s_min), cand, s_min)
+
+    offsets = seqdb.offsets.astype(np.int64)
+    return {
+        "rec_q": qid.astype(np.int32),
+        "rec_t_row": (tid + np.where(rev, sym2_shape_n, 0)).astype(np.int32),
+        "rec_qstart": qs2.astype(np.int32),
+        "rec_tstart": ts2.astype(np.int32),
+        "rec_alen": alen.astype(np.int32),
+        "rec_is_rev": rev,
+        "rec_keep_pre": keep_pre,
+        "rec_ry_smin": s_min.astype(np.int32),
+        "rec_goffset": offsets[qid].astype(np.int32),
+    }
 
 
-def log_deam_f_raw_lookup(raw, own_layer, obs):
-    """raw[own_layer, q, obs] -> (T, 4)."""
-    return raw[own_layer[:, None],
-               jnp.arange(4)[None, :],
-               obs[:, None]]
+def correction_tpu(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
+                   corr_reads_ry_seq_id: float, seq_id_thr: float,
+                   planes=None, lengths=None) -> SeqDB:
+    """Device-path drop-in for stages.correction.correction."""
+    from .rescore_tpu import pack_sequences
+
+    if planes is None:
+        planes, lengths = pack_sequences(seqdb)
+    n = len(seqdb)
+    max_len = planes["sym"].shape[1]
+    total_len = int(seqdb.lengths.sum())
+
+    rec = prepare_correction_inputs(seqdb, aln, n, corr_reads_ry_seq_id,
+                                    seq_id_thr)
+    # per-position metadata
+    offsets = seqdb.offsets.astype(np.int64)
+    obs = CHAR_TO_ACGT[seqdb.data].astype(np.int32)
+    own_layer = np.concatenate([
+        layer_index(np.arange(int(L)), int(L))
+        for L in seqdb.lengths]) if n else np.zeros(0, np.int32)
+    was_ext_pos = np.repeat(seqdb.ext, seqdb.lengths)
+
+    seq_err = seq_error_profile(0.01)
+    log_err = np.log(seq_err).astype(np.float32)
+    log_f = np.log(np.maximum(damage.fwd, SMOOTHING_VALUE))
+    log_r = np.log(np.maximum(damage.rev, SMOOTHING_VALUE))
+
+    corrected, tot = correction_device(
+        planes["sym"], lengths.astype(np.int32),
+        rec["rec_q"], rec["rec_t_row"], rec["rec_qstart"], rec["rec_tstart"],
+        rec["rec_alen"], rec["rec_is_rev"], rec["rec_keep_pre"],
+        rec["rec_ry_smin"], rec["rec_goffset"],
+        obs, own_layer.astype(np.int32), was_ext_pos,
+        log_err, log_f, log_r, damage.fwd.astype(np.float32),
+        max_len=max_len, total_len=total_len)
+    corrected = np.asarray(corrected)
+    tot = np.asarray(tot)
+
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    out_flat = np.where(tot <= 1, seqdb.data[:total_len],
+                        acgt[corrected])
+    seqs = [out_flat[offsets[i]:offsets[i] + seqdb.lengths[i]].tobytes()
+            for i in range(n)]
+    return SeqDB.from_sequences(seqs, keys=seqdb.keys.copy(),
+                                ext=seqdb.ext.copy(), headers=seqdb.headers)

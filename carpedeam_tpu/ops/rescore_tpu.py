@@ -1,18 +1,22 @@
 """TPU rescoring kernel: batched ungapped end-to-end overlap scoring.
 
-The device-side formulation of stages/rescorediagonal.py: sequences live as
-a dense (N, Lmax) uint8 symbol matrix on device; every (query, target,
-diagonal) candidate is scored as one row of a (P, Lmax) window comparison:
+The device-side formulation of stages/rescorediagonal.py.  Sequences are
+pre-encoded on the host into four dense (N, Lmax) planes:
 
-    gather query/target windows (strand-corrected via index arithmetic,
-    no materialised reverse complements) -> code equality (+2/-3 sums) and
-    symbol equality (seqId counts) -> masked reductions.
+  code      5-letter scoring codes (A0 C1 T2 G3 X4)
+  sym       case-folded symbol bytes (for char-equality seqId)
+  code_rc   reverse-complement codes, row-reversed so the strand-corrected
+            position x reads directly at [i, x]
+  sym_rc    reverse-complement symbols ('X' for non-ACGT, matching the
+            reference's num2aa reversal)
 
-Everything is elementwise + row reductions, i.e. pure VPU work that XLA
-fuses into a single pass over the (P, Lmax) grid; both ushort diagonal
-candidates are evaluated in one kernel.  The e-value needs erfc, also on
-device.  Semantics are identical to the NumPy oracle (golden-tested
-against it; the oracle itself is bit-exact vs the reference binary).
+and stacked [fwd; rc] so strand selection is pure row arithmetic
+(row = idx + N * is_rev) — no per-element LUT gathers on device (those
+lower to scalar loops on TPU and were 250x slower).  Each (query, target,
+diagonal) candidate is then a (P, Lmax) window comparison: two ushort
+diagonal candidates scored in one fused pass of elementwise VPU ops +
+row reductions.  Semantics identical to the NumPy oracle (which is
+bit-exact vs the reference binary).
 """
 from __future__ import annotations
 
@@ -29,50 +33,54 @@ _DECODE_X = np.frombuffer(b"ACTGX", dtype=np.uint8)
 _CHAR_REVCOMP_X = _DECODE_X[COMPLEMENT_CODE[CHAR_TO_CODE]]
 _UPPER = (np.arange(256) & ~0x20).astype(np.uint8)
 
-# device LUTs
-_LUT_CODE = jnp.asarray(CHAR_TO_CODE)
-_LUT_REVCOMP = jnp.asarray(_CHAR_REVCOMP_X)
-_LUT_UPPER = jnp.asarray(_UPPER)
-
 
 def pack_sequences(seqdb, max_len=None):
-    """Host-side: SeqDB -> dense (N, Lmax) uint8 byte matrix + lengths."""
+    """Host-side: SeqDB -> dict of stacked device planes + lengths.
+
+    Returns (planes, lengths) where planes = {"code": (2N, L) uint8,
+    "sym": (2N, L) uint8}; rows [0, N) are forward, rows [N, 2N) are the
+    row-reversed reverse complements.
+    """
     n = len(seqdb)
     if max_len is None:
         max_len = int(seqdb.lengths.max()) if n else 1
-    mat = np.zeros((n, max_len), dtype=np.uint8)
+    sym = np.zeros((n, max_len), dtype=np.uint8)
+    sym_rc = np.zeros((n, max_len), dtype=np.uint8)
     for i in range(n):
         L = int(seqdb.lengths[i])
-        mat[i, :L] = seqdb.seq_bytes(i)
-    return mat, seqdb.lengths.astype(np.int32)
+        raw = seqdb.seq_bytes(i)
+        sym[i, :L] = _UPPER[raw]
+        sym_rc[i, :L] = _UPPER[_CHAR_REVCOMP_X[raw][::-1]]
+    code = CHAR_TO_CODE[sym]
+    code_rc = CHAR_TO_CODE[sym_rc]
+    planes = {"code": np.concatenate([code, code_rc]),
+              "sym": np.concatenate([sym, sym_rc])}
+    return planes, seqdb.lengths.astype(np.int32)
 
 
 @partial(jax.jit, static_argnames=("max_len",))
-def rescore_pairs_device(seq_bytes, lengths, qidx, tidx, diag16, is_rev,
+def rescore_pairs_device(code2, sym2, lengths, qidx, tidx, diag16, is_rev,
                          max_len: int):
-    """Scores all pairs.  Returns dict of per-pair arrays:
-    score, qstart, qend, tstart, tend, aln_len, id_cnt (for seqId).
+    """Scores all pairs; see module docstring for the input planes.
 
-    seq_bytes: (N, Lmax) uint8; lengths: (N,) int32
-    qidx/tidx: (P,) int32; diag16: (P,) int32 (int16 value); is_rev: (P,) bool
+    Returns per-pair arrays: score, qstart, qend, tstart, tend, aln_len,
+    id_cnt, qlen, tlen.
     """
+    n_seqs = lengths.shape[0]
     qlen = lengths[qidx].astype(jnp.int32)
     tlen = lengths[tidx].astype(jnp.int32)
+    qrow = qidx + jnp.where(is_rev, n_seqs, 0).astype(qidx.dtype)
     diag_u = diag16.astype(jnp.int32) & 0xFFFF
     pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]          # (1, L)
 
-    def q_gather(offsets):
-        """Query window bytes at positions offsets (P, L), strand-corrected."""
-        p = offsets
-        idx = jnp.where(is_rev[:, None], qlen[:, None] - 1 - p, p)
-        idx = jnp.clip(idx, 0, max_len - 1)
-        raw = jnp.take_along_axis(seq_bytes[qidx], idx, axis=1)
-        rc = _LUT_REVCOMP[raw]
-        return jnp.where(is_rev[:, None], rc, raw)
+    q_code_rows = code2[qrow]                                    # (P, L)
+    t_code_rows = code2[tidx]
+    q_sym_rows = sym2[qrow]
+    t_sym_rows = sym2[tidx]
 
-    def t_gather(offsets):
+    def windows(rows, offsets):
         idx = jnp.clip(offsets, 0, max_len - 1)
-        return jnp.take_along_axis(seq_bytes[tidx], idx, axis=1)
+        return jnp.take_along_axis(rows, idx, axis=1)
 
     def score_candidate(cand):
         neg = cand < 0
@@ -84,22 +92,18 @@ def rescore_pairs_device(seq_bytes, lengths, qidx, tidx, diag16, is_rev,
         qoff = jnp.where(neg, 0, dist)[:, None] + pos
         toff = jnp.where(neg, dist, 0)[:, None] + pos
         in_win = pos < min_len[:, None]
-        qb = q_gather(qoff)
-        tb = t_gather(toff)
-        qc = _LUT_CODE[qb]
-        tc = _LUT_CODE[tb]
+        qc = windows(q_code_rows, qoff)
+        tc = windows(t_code_rows, toff)
         match = (qc == tc) & (qc < 4) & in_win
         m = match.sum(axis=1)
         score = jnp.maximum(2 * m - 3 * (min_len - m), 0)
-        score = jnp.where(valid, score, 0)
-        return score, min_len
+        return jnp.where(valid, score, 0), min_len
 
     cand_neg = diag_u - 65536
     cand_pos = diag_u
     s_neg, len_neg = score_candidate(cand_neg)
     s_pos, len_pos = score_candidate(cand_pos)
 
-    # negative candidate first; strictly-greater replaces (ties keep neg)
     use_pos = s_pos > s_neg
     best_score = jnp.where(use_pos, s_pos, s_neg)
     best_cand = jnp.where(use_pos, cand_pos, cand_neg)
@@ -117,15 +121,36 @@ def rescore_pairs_device(seq_bytes, lengths, qidx, tidx, diag16, is_rev,
     tend = jnp.where(dneg, end + dist, end)
     aln_len = end - start + 1
 
-    # seqId: symbol equality over the aligned window
     in_win = pos < aln_len[:, None]
-    qb = q_gather(qstart[:, None] + pos)
-    tb = t_gather(tstart[:, None] + pos)
-    id_cnt = ((_LUT_UPPER[qb] == _LUT_UPPER[tb]) & in_win).sum(axis=1)
+    qs = windows(q_sym_rows, qstart[:, None] + pos)
+    ts = windows(t_sym_rows, tstart[:, None] + pos)
+    id_cnt = ((qs == ts) & in_win).sum(axis=1)
 
     return {"score": best_score, "qstart": qstart, "qend": qend,
             "tstart": tstart, "tend": tend, "aln_len": aln_len,
             "id_cnt": id_cnt, "qlen": qlen, "tlen": tlen}
+
+
+def rescorediagonal_tpu(seqdb, pref, seq_id_thr, eval_thr=0.001,
+                        aln_len_thr=0, planes=None, lengths=None):
+    """Device drop-in for stages.rescorediagonal.rescorediagonal: the
+    (pairs, Lmax) window scans run on device; statistics, filters and
+    record assembly share the host code (integer id_cnt crosses the
+    boundary, so float semantics stay IEEE-exact)."""
+    from ..stages.rescorediagonal import assemble_alndb
+
+    if planes is None:
+        planes, lengths = pack_sequences(seqdb)
+    key2id = seqdb.key_to_id()
+    qidx = np.array([key2id[int(k)] for k in pref.qkey], dtype=np.int32)
+    tidx = np.array([key2id[int(k)] for k in pref.tkey], dtype=np.int32)
+    out = rescore_pairs_device(planes["code"], planes["sym"],
+                               lengths.astype(np.int32), qidx, tidx,
+                               pref.diag.astype(np.int32), pref.score < 0,
+                               max_len=planes["code"].shape[1])
+    raw = {k: np.asarray(v) for k, v in out.items()}
+    return assemble_alndb(seqdb, pref, raw, seq_id_thr, eval_thr,
+                          aln_len_thr)
 
 
 # --- device e-value (mirrors evalue.py with jnp) ---------------------------
@@ -138,13 +163,13 @@ _INV_SQRT_2PI = 1.0 / np.sqrt(2.0 * np.pi)
 
 
 def evalue_device(score, seq_len, db_res_count):
-    y = score.astype(jnp.float64) if jax.config.jax_enable_x64 \
-        else score.astype(jnp.float32)
+    y = score.astype(jnp.float32)
     m = seq_len.astype(y.dtype)
     n = jnp.asarray(db_res_count, dtype=y.dtype)
 
     def _phi(x):
-        return 0.5 * jax.scipy.special.erfc(-jnp.sqrt(0.5).astype(y.dtype) * x)
+        return 0.5 * jax.scipy.special.erfc(
+            -jnp.asarray(np.sqrt(0.5), y.dtype) * x)
 
     m_li = m - _A * y
     vi = jnp.maximum(_Y_THR, _ALPHA * y)

@@ -42,10 +42,10 @@ def overlap_correction_step(mesh: Mesh, max_len: int, total_len: int):
                log_err, log_deam_f) -> (scores, corrected_base)
     """
 
-    def local_step(seq_bytes, lengths, offsets, qidx, tidx, diag16, is_rev,
+    def local_step(code2, sym2, lengths, offsets, qidx, tidx, diag16, is_rev,
                    log_err, log_deam_f):
         # per-shard rescore of this shard's pairs
-        out = rescore_pairs_device(seq_bytes, lengths, qidx, tidx, diag16,
+        out = rescore_pairs_device(code2, sym2, lengths, qidx, tidx, diag16,
                                    is_rev, max_len=max_len)
         # coverage scatter (simplified stack: target base counts per query
         # position) over this shard's pairs
@@ -54,7 +54,7 @@ def overlap_correction_step(mesh: Mesh, max_len: int, total_len: int):
         qpos = out["qstart"][:, None] + pos
         g_pos = offsets[qidx][:, None] + qpos
         t_idx = jnp.clip(out["tstart"][:, None] + pos, 0, max_len - 1)
-        t_bytes = jnp.take_along_axis(seq_bytes[tidx], t_idx, axis=1)
+        t_bytes = jnp.take_along_axis(sym2[tidx], t_idx, axis=1)
         tb = jnp.clip(_byte_to_acgt(t_bytes), 0, 3).astype(jnp.int32)
         flat = jnp.clip(g_pos, 0, total_len - 1) * 4 + tb
         w = in_win.astype(jnp.int32)
@@ -71,7 +71,7 @@ def overlap_correction_step(mesh: Mesh, max_len: int, total_len: int):
     from jax.experimental.shard_map import shard_map
     sharded = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(), P(), P(), P("dp"), P("dp"), P("dp"), P("dp"),
+        in_specs=(P(), P(), P(), P(), P("dp"), P("dp"), P("dp"), P("dp"),
                   P(), P()),
         out_specs=(P("dp"), P()),
         check_rep=False)

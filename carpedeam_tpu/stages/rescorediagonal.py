@@ -44,10 +44,16 @@ _UPPER = np.arange(256, dtype=np.uint8) & np.uint8(~0x20 & 0xFF)
 
 def rescorediagonal(seqdb: SeqDB, pref: PrefDB, seq_id_thr: float,
                     eval_thr: float = 0.001, aln_len_thr: int = 0) -> AlnDB:
-    """Score every prefilter hit and emit filtered alignment records."""
-    key2id = seqdb.key_to_id()
-    db_res = seqdb.total_residues
+    """Score every prefilter hit and emit filtered alignment records
+    (NumPy scoring path; ops.rescore_tpu.rescorediagonal_tpu is the
+    device drop-in sharing assemble_alndb below)."""
+    raw = _score_pairs_numpy(seqdb, pref)
+    return assemble_alndb(seqdb, pref, raw, seq_id_thr, eval_thr,
+                          aln_len_thr)
 
+
+def _score_pairs_numpy(seqdb: SeqDB, pref: PrefDB) -> dict:
+    key2id = seqdb.key_to_id()
     n = len(pref.qkey)
     qid = np.array([key2id[int(k)] for k in pref.qkey], dtype=np.int64)
     tid = np.array([key2id[int(k)] for k in pref.tkey], dtype=np.int64)
@@ -119,20 +125,46 @@ def rescorediagonal(seqdb: SeqDB, pref: PrefDB, seq_id_thr: float,
     tend = np.where(dneg, best_end + best_dist, best_end)
     aln_len = best_end - best_start + 1
 
-    # ---- statistics ------------------------------------------------------
-    evals = ev.evalue(best_score.astype(np.float64), qlen.astype(np.float64),
-                      db_res)
-    bits = ev.bit_score_int(best_score.astype(np.float64))
-    is_identity = qid == tid
-
-    # seqId over the aligned window (char equality, case-folded)
-    need_seqid = (evals <= eval_thr) | is_identity
+    # id_cnt over the aligned window (char equality, case-folded)
     qi = np.clip(qstart[:, None] + pos_grid[None, :], 0, max_len - 1)
     ti = np.clip(tstart[:, None] + pos_grid[None, :], 0, max_len - 1)
     in_win = pos_grid[None, :] < aln_len[:, None]
     qch = _UPPER[np.take_along_axis(q_chars, qi, axis=1)]
     tch = _UPPER[np.take_along_axis(t_chars, ti, axis=1)]
     id_cnt = ((qch == tch) & in_win).sum(axis=1)
+
+    return {"score": best_score, "qstart": qstart, "qend": qend,
+            "tstart": tstart, "tend": tend, "aln_len": aln_len,
+            "id_cnt": id_cnt, "qlen": qlen, "tlen": tlen}
+
+
+def assemble_alndb(seqdb: SeqDB, pref: PrefDB, raw: dict, seq_id_thr: float,
+                   eval_thr: float, aln_len_thr: int) -> AlnDB:
+    """Statistics + filters + per-query record assembly over the raw
+    per-pair scoring arrays (from the NumPy or device scorer)."""
+    key2id = seqdb.key_to_id()
+    db_res = seqdb.total_residues
+    qid = np.array([key2id[int(k)] for k in pref.qkey], dtype=np.int64)
+    tid = np.array([key2id[int(k)] for k in pref.tkey], dtype=np.int64)
+    is_rev = pref.score < 0
+    best_score = raw["score"].astype(np.int64)
+    qstart = raw["qstart"].astype(np.int64)
+    qend = raw["qend"].astype(np.int64)
+    tstart = raw["tstart"].astype(np.int64)
+    tend = raw["tend"].astype(np.int64)
+    aln_len = raw["aln_len"].astype(np.int64)
+    id_cnt = raw["id_cnt"].astype(np.int64)
+    qlen = raw["qlen"].astype(np.int64)
+    tlen = raw["tlen"].astype(np.int64)
+
+    # ---- statistics ------------------------------------------------------
+    evals = ev.evalue(best_score.astype(np.float64), qlen.astype(np.float64),
+                      db_res)
+    bits = ev.bit_score_int(best_score.astype(np.float64))
+    is_identity = qid == tid
+
+    # seqId is computed only when evalue <= threshold or identity (:276-284)
+    need_seqid = (evals <= eval_thr) | is_identity
     seq_id = np.where(need_seqid & (aln_len > 0),
                       id_cnt.astype(np.float32) / np.maximum(aln_len, 1)
                       .astype(np.float32),

@@ -1,0 +1,57 @@
+"""Device-kernel vs host-oracle parity (the oracles are bit-exact vs the
+reference binary, so device==oracle means device==reference)."""
+import numpy as np
+import pytest
+
+from carpedeam_tpu.damage import DamageModel
+from carpedeam_tpu.io import SeqDB
+from carpedeam_tpu.kmer.matcher import kmermatcher
+from carpedeam_tpu.ops.correction_tpu import correction_tpu
+from carpedeam_tpu.ops.rescore_tpu import rescorediagonal_tpu
+from carpedeam_tpu.stages.correction import correction
+from carpedeam_tpu.stages.rescorediagonal import rescorediagonal
+
+
+@pytest.fixture(scope="module")
+def small_world(example_reads, damage_model):
+    """A 600-read subsample of the example workload with real overlaps."""
+    db = example_reads.select(np.arange(0, len(example_reads), 25))
+    pref = kmermatcher(db, 20, 200, 0.2, False)
+    aln = rescorediagonal(db, pref, seq_id_thr=0.9)
+    return db, pref, aln
+
+
+def test_rescore_device_matches_oracle(small_world):
+    db, pref, aln = small_world
+    dev = rescorediagonal_tpu(db, pref, seq_id_thr=0.9)
+    assert dev.to_text() == aln.to_text()
+
+
+def test_correction_device_matches_oracle(small_world, damage_model):
+    db, _, aln = small_world
+    ora = correction(db, aln, damage_model, 0.99, 0.9)
+    dev = correction_tpu(db, aln, damage_model, 0.99, 0.9)
+    diffs = [i for i in range(len(db))
+             if bytes(ora.seq_bytes(i)) != bytes(dev.seq_bytes(i))]
+    assert diffs == []
+
+
+def test_correction_device_exact_at_ry_threshold(damage_model):
+    """Regression: a record sitting exactly at the dynamic RY threshold
+    (49/50 matches vs floor(0.98*1000)/1000) must be kept on device exactly
+    as numpy's IEEE f32 division keeps it — XLA's reciprocal-multiply
+    division is 1 ulp low and used to drop it."""
+    rng = np.random.default_rng(7)
+    L = 60
+    q = rng.integers(0, 4, L)
+    # target overlaps q[0:50] with exactly one RY-breaking mismatch
+    t = q[:50].copy()
+    t[25] = {0: 1, 1: 0, 2: 3, 3: 2}[int(t[25])]  # A<->C / G<->T breaks RY
+    enc = np.frombuffer(b"ACGT", dtype=np.uint8)
+    db = SeqDB.from_sequences([enc[q].tobytes(), enc[t].tobytes()])
+    pref = kmermatcher(db, 20, 200, 0.2, False)
+    aln = rescorediagonal(db, pref, seq_id_thr=0.9)
+    ora = correction(db, aln, damage_model, 0.99, 0.9)
+    dev = correction_tpu(db, aln, damage_model, 0.99, 0.9)
+    for i in range(len(db)):
+        assert bytes(ora.seq_bytes(i)) == bytes(dev.seq_bytes(i))
