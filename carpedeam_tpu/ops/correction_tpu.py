@@ -198,24 +198,43 @@ def prepare_correction_inputs(seqdb: SeqDB, aln: AlnDB, sym2_shape_n: int,
 def correction_tpu(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
                    corr_reads_ry_seq_id: float, seq_id_thr: float,
                    planes=None, lengths=None) -> SeqDB:
-    """Device-path drop-in for stages.correction.correction."""
+    """Device-path drop-in for stages.correction.correction.  Record and
+    position axes are padded to bucket boundaries (padding records carry
+    keep_pre=False, padded positions get zero coverage and pass through),
+    so the executable is reused across assembly iterations."""
+    from ..utils import bucket_len, bucket_pairs, bucket_positions
     from .rescore_tpu import pack_sequences
 
     if planes is None:
-        planes, lengths = pack_sequences(seqdb)
+        planes, lengths = pack_sequences(seqdb, max_len=bucket_len(
+            int(seqdb.lengths.max()) if len(seqdb) else 1))
     n = len(seqdb)
     max_len = planes["sym"].shape[1]
     total_len = int(seqdb.lengths.sum())
+    pad_total = bucket_positions(total_len)
 
     rec = prepare_correction_inputs(seqdb, aln, n, corr_reads_ry_seq_id,
                                     seq_id_thr)
-    # per-position metadata
+    nrec = len(rec["rec_q"])
+    pad_rec = bucket_pairs(nrec)
+    recp = {}
+    for name, arr in rec.items():
+        out = np.zeros(pad_rec, dtype=arr.dtype)
+        out[:nrec] = arr
+        recp[name] = out
+    recp["rec_ry_smin"][nrec:] = 1       # sum 0 >= 1 never holds
+    # (rec_keep_pre padding is already False)
+
+    # per-position metadata, padded
     offsets = seqdb.offsets.astype(np.int64)
-    obs = CHAR_TO_ACGT[seqdb.data].astype(np.int32)
-    own_layer = np.concatenate([
-        layer_index(np.arange(int(L)), int(L))
-        for L in seqdb.lengths]) if n else np.zeros(0, np.int32)
-    was_ext_pos = np.repeat(seqdb.ext, seqdb.lengths)
+    obs = np.zeros(pad_total, dtype=np.int32)
+    obs[:total_len] = CHAR_TO_ACGT[seqdb.data[:total_len]]
+    own_layer = np.zeros(pad_total, dtype=np.int32)
+    if n:
+        own_layer[:total_len] = np.concatenate([
+            layer_index(np.arange(int(L)), int(L)) for L in seqdb.lengths])
+    was_ext_pos = np.zeros(pad_total, dtype=bool)
+    was_ext_pos[:total_len] = np.repeat(seqdb.ext, seqdb.lengths)
 
     seq_err = seq_error_profile(0.01)
     log_err = np.log(seq_err).astype(np.float32)
@@ -224,14 +243,14 @@ def correction_tpu(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
 
     corrected, tot = correction_device(
         planes["sym"], lengths.astype(np.int32),
-        rec["rec_q"], rec["rec_t_row"], rec["rec_qstart"], rec["rec_tstart"],
-        rec["rec_alen"], rec["rec_is_rev"], rec["rec_keep_pre"],
-        rec["rec_ry_smin"], rec["rec_goffset"],
-        obs, own_layer.astype(np.int32), was_ext_pos,
+        recp["rec_q"], recp["rec_t_row"], recp["rec_qstart"],
+        recp["rec_tstart"], recp["rec_alen"], recp["rec_is_rev"],
+        recp["rec_keep_pre"], recp["rec_ry_smin"], recp["rec_goffset"],
+        obs, own_layer, was_ext_pos,
         log_err, log_f, log_r, damage.fwd.astype(np.float32),
-        max_len=max_len, total_len=total_len)
-    corrected = np.asarray(corrected)
-    tot = np.asarray(tot)
+        max_len=max_len, total_len=pad_total)
+    corrected = np.asarray(corrected)[:total_len]
+    tot = np.asarray(tot)[:total_len]
 
     acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
     out_flat = np.where(tot <= 1, seqdb.data[:total_len],

@@ -136,19 +136,31 @@ def rescorediagonal_tpu(seqdb, pref, seq_id_thr, eval_thr=0.001,
     """Device drop-in for stages.rescorediagonal.rescorediagonal: the
     (pairs, Lmax) window scans run on device; statistics, filters and
     record assembly share the host code (integer id_cnt crosses the
-    boundary, so float semantics stay IEEE-exact)."""
+    boundary, so float semantics stay IEEE-exact).  The pair axis is
+    padded to a bucket boundary so the executable is reused across
+    assembly iterations; padded rows are sliced off before assembly."""
     from ..stages.rescorediagonal import assemble_alndb
+    from ..utils import bucket_len, bucket_pairs
 
     if planes is None:
-        planes, lengths = pack_sequences(seqdb)
+        planes, lengths = pack_sequences(seqdb, max_len=bucket_len(
+            int(seqdb.lengths.max()) if len(seqdb) else 1))
     key2id = seqdb.key_to_id()
-    qidx = np.array([key2id[int(k)] for k in pref.qkey], dtype=np.int32)
-    tidx = np.array([key2id[int(k)] for k in pref.tkey], dtype=np.int32)
+    n = len(pref.qkey)
+    np_pad = bucket_pairs(n)
+    qidx = np.zeros(np_pad, dtype=np.int32)
+    tidx = np.zeros(np_pad, dtype=np.int32)
+    diag = np.zeros(np_pad, dtype=np.int32)
+    is_rev = np.zeros(np_pad, dtype=bool)
+    qidx[:n] = [key2id[int(k)] for k in pref.qkey]
+    tidx[:n] = [key2id[int(k)] for k in pref.tkey]
+    diag[:n] = pref.diag
+    is_rev[:n] = pref.score < 0
     out = rescore_pairs_device(planes["code"], planes["sym"],
                                lengths.astype(np.int32), qidx, tidx,
-                               pref.diag.astype(np.int32), pref.score < 0,
+                               diag, is_rev,
                                max_len=planes["code"].shape[1])
-    raw = {k: np.asarray(v) for k, v in out.items()}
+    raw = {k: np.asarray(v)[:n] for k, v in out.items()}
     return assemble_alndb(seqdb, pref, raw, seq_id_thr, eval_thr,
                           aln_len_thr)
 

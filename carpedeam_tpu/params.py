@@ -68,6 +68,10 @@ class Params:
     delete_tmp_inc: bool = True
     db_mode: bool = False
     verbosity: int = 3
+    # device kernel selection: "auto" = use the accelerator path when the
+    # default JAX backend is not the host CPU; "1"/"0" force on/off.  Both
+    # paths are bit-identical (tests/test_device_parity.py).
+    use_device: str = "auto"
 
     def copy(self, **overrides) -> "Params":
         return dataclasses.replace(self, **overrides)
@@ -112,6 +116,7 @@ _FLAGS = {
     "--delete-tmp-inc": ("delete_tmp_inc", bool),
     "--db-mode": ("db_mode", bool),
     "-v": ("verbosity", int),
+    "--use-device": ("use_device", str),
 }
 
 

@@ -58,6 +58,21 @@ class Checkpointer:
         return result
 
 
+def _pick_stage_impls(params: Params):
+    """Choose host-oracle or device-kernel implementations for the two
+    batched stages (both are bit-identical; the device path pays per-shape
+    compilation, amortised by shape bucketing)."""
+    use = params.use_device
+    if use == "auto":
+        from .utils import device_is_tpu
+        use = "1" if device_is_tpu() else "0"
+    if use == "1":
+        from .ops.correction_tpu import correction_tpu
+        from .ops.rescore_tpu import rescorediagonal_tpu
+        return rescorediagonal_tpu, correction_tpu
+    return rescorediagonal, correction
+
+
 def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                  tmp_dir: str | None = None, progress=None):
     """The inner assembly loop (data/nuclassemble.sh:97-233).
@@ -66,6 +81,7 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
     """
     ck = Checkpointer(tmp_dir)
     log = progress or (lambda *_: None)
+    rescore_fn, correction_fn = _pick_stage_impls(params)
     cur = reads
     cycle_all: dict[int, bytes] = {}   # accumulated circular contigs
     cycle_ext: dict[int, bool] = {}
@@ -91,10 +107,11 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                                params.kmers_per_sequence_scale,
                                params.include_only_extendable_reads,
                                params.hash_shift)
-            aln = rescorediagonal(cur, pref, params.seq_id_thr,
-                                  params.eval_thr, params.aln_len_thr)
-            corr = correction(cur, aln, damage, params.corr_reads_ry_seq_id,
-                              params.seq_id_thr)
+            aln = rescore_fn(cur, pref, params.seq_id_thr,
+                             params.eval_thr, params.aln_len_thr)
+            corr = correction_fn(cur, aln, damage,
+                                 params.corr_reads_ry_seq_id,
+                                 params.seq_id_thr)
             nxt = read_assembly(corr, aln, damage, params.seq_id_thr,
                                 params.ry_seq_id_thr,
                                 params.likelihood_threshold,
@@ -106,10 +123,11 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                                params.kmers_per_sequence_scale,
                                params.include_only_extendable_contigs,
                                params.hash_shift)
-            aln = rescorediagonal(cur, pref, params.corr_contig_seq_id,
-                                  params.eval_thr, params.aln_len_thr)
-            corr = correction(cur, aln, damage, params.corr_reads_ry_seq_id,
-                              params.corr_contig_seq_id)
+            aln = rescore_fn(cur, pref, params.corr_contig_seq_id,
+                             params.eval_thr, params.aln_len_thr)
+            corr = correction_fn(cur, aln, damage,
+                                 params.corr_reads_ry_seq_id,
+                                 params.corr_contig_seq_id)
             nxt = contig_merge(corr, aln, damage, params.merge_seq_id_thr,
                                params.ry_seq_id_thr, params.max_seq_len)
 

@@ -4,6 +4,10 @@ import sys
 # Force CPU JAX with 8 virtual devices so multi-chip sharding logic is
 # exercised without TPU hardware (tests never touch the real chip).
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# small shape buckets: XLA-CPU compile time scales with the padded shapes,
+# and tests only exercise semantics, not production batch sizes
+os.environ.setdefault("CARPEDEAM_PAIR_BUCKET", "2048")
+os.environ.setdefault("CARPEDEAM_POS_BUCKET", "8192")
 os.environ.setdefault(
     "XLA_FLAGS",
     (os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip(),

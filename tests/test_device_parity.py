@@ -36,6 +36,24 @@ def test_correction_device_matches_oracle(small_world, damage_model):
     assert diffs == []
 
 
+def test_pipeline_device_path_matches_host(example_reads, damage_model):
+    """3 assembly iterations (2 read + 1 contig phase) end-to-end with the
+    device stage implementations must byte-match the host-oracle path."""
+    from carpedeam_tpu.params import Params
+    from carpedeam_tpu.pipeline import nuclassemble
+
+    db = example_reads.select(np.arange(0, len(example_reads), 25))
+    p = Params(num_iterations=3, num_iterations_reads=2, min_contig_len=0,
+               use_device="0")
+    r0, cyc0, _ = nuclassemble(db, p, damage_model)
+    r1, cyc1, _ = nuclassemble(db, p.copy(use_device="1"), damage_model)
+    assert len(r0) == len(r1)
+    assert cyc0 == cyc1
+    for i in range(len(r0)):
+        assert r0.keys[i] == r1.keys[i]
+        assert bytes(r0.seq_bytes(i)) == bytes(r1.seq_bytes(i))
+
+
 def test_correction_device_exact_at_ry_threshold(damage_model):
     """Regression: a record sitting exactly at the dynamic RY threshold
     (49/50 matches vs floor(0.98*1000)/1000) must be kept on device exactly
