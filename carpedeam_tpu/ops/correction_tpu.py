@@ -51,21 +51,13 @@ def _sym_to_ry(b):
     return ((b == ord("C")) | (b == ord("T"))).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("max_len", "total_len"))
-def correction_device(sym2, lengths,
-                      rec_q, rec_t_row, rec_qstart, rec_tstart, rec_alen,
-                      rec_is_rev, rec_keep_pre, rec_ry_smin,
-                      rec_goffset,
-                      obs, own_layer, was_ext_pos,
-                      log_err, log_deam_f, log_deam_r, raw_deam_f,
-                      max_len: int, total_len: int):
-    """Returns (corrected_base (total_len,), total_cov (total_len,)).
-
-    sym2: (2N, Lmax) stacked symbol planes (fwd; row-reversed revcomp).
-    rec_t_row: target plane row (tidx + N*is_rev).  rec_goffset: global
-    position of the query's base 0.  obs/own_layer/was_ext_pos: per global
-    position.  rec_ry_smin: per-record minimal RY match count (integer
-    form of the dynamic RY-identity threshold, precomputed on host).
+def correction_scatter(sym2, lengths,
+                       rec_q, rec_t_row, rec_qstart, rec_tstart, rec_alen,
+                       rec_is_rev, rec_keep_pre, rec_ry_smin, rec_goffset,
+                       max_len: int, total_len: int):
+    """RY filter + coverage scatter over one batch of alignment records.
+    Returns flat (total_len*44,) int32 count vectors (fwd+rev, rev-only) —
+    additive across record shards, so the multi-chip path just psums them.
     """
     pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
     in_win = pos < rec_alen[:, None]
@@ -94,13 +86,19 @@ def correction_device(sym2, lengths,
     flat = jnp.where(use, g_pos * 44 + t_base * 11 + layers, total_len * 44)
     w = use.astype(jnp.int32)
     acc = jnp.zeros(total_len * 44 + 1, dtype=jnp.int32)
-    counts = acc.at[flat.reshape(-1)].add(w.reshape(-1))[:-1] \
-        .reshape(total_len, 4, 11)
+    counts = acc.at[flat.reshape(-1)].add(w.reshape(-1))[:-1]
     w_rev = (use & rec_is_rev[:, None]).astype(jnp.int32)
     acc2 = jnp.zeros(total_len * 44 + 1, dtype=jnp.int32)
-    rev_counts = acc2.at[flat.reshape(-1)].add(w_rev.reshape(-1))[:-1] \
-        .reshape(total_len, 4, 11)
+    rev_counts = acc2.at[flat.reshape(-1)].add(w_rev.reshape(-1))[:-1]
+    return counts, rev_counts
 
+
+def correction_argmax(counts, rev_counts, obs, own_layer, was_ext_pos,
+                      log_err, log_deam_f, log_deam_r, raw_deam_f):
+    """Per-position Bayesian argmax over (n_pos, 4, 11) coverage stacks.
+    Elementwise over positions, so the multi-chip path shards positions."""
+    counts = counts.reshape(-1, 4, 11)
+    rev_counts = rev_counts.reshape(-1, 4, 11)
     base_covs = counts.sum(axis=2)
     tot = base_covs.sum(axis=1)
 
@@ -109,7 +107,6 @@ def correction_device(sym2, lengths,
         raw_deam_f[own_layer[:, None], jnp.arange(4)[None, :], obs[:, None]],
         SMOOTHING_VALUE))
     log_q = jnp.where(was_ext_pos[:, None], log_q_err, log_q_dam)
-    log_t = log_err[:, obs].T
 
     # term_obs (sum of count*log_t) is constant across candidate bases q and
     # cannot change the argmax; dropping it removes the dominant-magnitude
@@ -128,6 +125,31 @@ def correction_device(sym2, lengths,
                                    | (5 * base_covs[:, 0] >= 2 * tot))
     corrected = jnp.where(ratio_exit, obs, new_base)
     return corrected, tot
+
+
+@partial(jax.jit, static_argnames=("max_len", "total_len"))
+def correction_device(sym2, lengths,
+                      rec_q, rec_t_row, rec_qstart, rec_tstart, rec_alen,
+                      rec_is_rev, rec_keep_pre, rec_ry_smin,
+                      rec_goffset,
+                      obs, own_layer, was_ext_pos,
+                      log_err, log_deam_f, log_deam_r, raw_deam_f,
+                      max_len: int, total_len: int):
+    """Single-device fused stage: returns (corrected_base (total_len,),
+    total_cov (total_len,)).
+
+    sym2: (2N, Lmax) stacked symbol planes (fwd; row-reversed revcomp).
+    rec_t_row: target plane row (tidx + N*is_rev).  rec_goffset: global
+    position of the query's base 0.  obs/own_layer/was_ext_pos: per global
+    position.  rec_ry_smin: per-record minimal RY match count (integer
+    form of the dynamic RY-identity threshold, precomputed on host).
+    """
+    counts, rev_counts = correction_scatter(
+        sym2, lengths, rec_q, rec_t_row, rec_qstart, rec_tstart, rec_alen,
+        rec_is_rev, rec_keep_pre, rec_ry_smin, rec_goffset,
+        max_len=max_len, total_len=total_len)
+    return correction_argmax(counts, rev_counts, obs, own_layer, was_ext_pos,
+                             log_err, log_deam_f, log_deam_r, raw_deam_f)
 
 
 def prepare_correction_inputs(seqdb: SeqDB, aln: AlnDB, sym2_shape_n: int,

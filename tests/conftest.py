@@ -15,6 +15,13 @@ os.environ.setdefault(
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# A site hook may force an accelerator platform into jax.config (overriding
+# JAX_PLATFORMS); pin the config itself so tests genuinely run on the
+# 8-virtual-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 REF_EXAMPLE = "/root/reference/example"
