@@ -1,9 +1,13 @@
-"""Native host runtime: C++ implementations of sequential host-side loops
-(k-mer selection walk, ...), compiled on first use and loaded via ctypes.
+"""Native host runtime: C++ implementations of host-side hot loops
+(k-mer selection walk, per-pair overlap scoring, correction coverage
+accumulation), compiled on first use and loaded via ctypes.
 
-The TPU compute path (ops/) handles the dense math; this layer covers the
-orchestration loops the reference implements in OpenMP C++ that are neither
-TPU-shaped nor fast enough in Python at production scale.
+The TPU compute path (ops/) handles the dense math on the accelerator;
+this layer serves the same math at native speed on hosts without one and
+covers the orchestration loops the reference implements in OpenMP C++
+that are neither TPU-shaped nor fast enough in Python at production
+scale.  Every entry point has a pure-NumPy fallback in its caller, so a
+missing toolchain degrades to slow-but-correct.
 """
 from __future__ import annotations
 
@@ -15,23 +19,37 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
+_SOURCES = ["kmer_select.cpp", "host_kernels.cpp"]
 _LOCK = threading.Lock()
 _LIB = None
 _BUILD_FAILED = False
 
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_u16p = ctypes.POINTER(ctypes.c_uint16)
+_u64p = ctypes.POINTER(ctypes.c_uint64)
+
 
 def _build() -> str | None:
-    src = os.path.join(_HERE, "kmer_select.cpp")
+    srcs = [os.path.join(_HERE, s) for s in _SOURCES]
     out = os.path.join(_HERE, "_native.so")
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    if os.path.exists(out) and all(
+            os.path.getmtime(out) >= os.path.getmtime(s) for s in srcs):
         return out
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           src, "-o", out]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True)
-        return out
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        return None
+    for flags in (["-fopenmp"], []):  # tolerate toolchains without OpenMP
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+               "-std=c++17", *flags, *srcs, "-o", out]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            return out
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            continue
+    return None
+
+
+def _as(arr, dtype, ptr):
+    return np.ascontiguousarray(arr, dtype=dtype).ctypes.data_as(ptr)
 
 
 def get_lib():
@@ -48,11 +66,18 @@ def get_lib():
             _BUILD_FAILED = True
             return None
         lib = ctypes.CDLL(path)
-        lib.select_kmers_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint16),
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+        lib.select_kmers_batch.argtypes = [_u64p, _u16p, _i64p, _i64p,
+                                           ctypes.c_int64, _u8p]
         lib.select_kmers_batch.restype = None
+        lib.score_pairs.argtypes = [_u8p, _i64p, _i64p, _i32p, _i32p, _i32p,
+                                    _u8p, ctypes.c_int64,
+                                    _i32p, _i32p, _i32p, _i32p, _i32p,
+                                    _i32p, _i32p]
+        lib.score_pairs.restype = None
+        lib.correction_accumulate.argtypes = [
+            _u8p, _i64p, _i64p, _i32p, _i32p, _u8p, _i32p, _i32p, _i32p,
+            _u8p, _i32p, ctypes.c_int64, _i32p, _i32p]
+        lib.correction_accumulate.restype = None
         _LIB = lib
         return _LIB
 
@@ -64,16 +89,54 @@ def select_kmers_batch(masked_kmers: np.ndarray, hashes: np.ndarray,
     lib = get_lib()
     if lib is None:
         return None
-    masked_kmers = np.ascontiguousarray(masked_kmers, dtype=np.uint64)
-    hashes = np.ascontiguousarray(hashes, dtype=np.uint16)
-    seq_offsets = np.ascontiguousarray(seq_offsets, dtype=np.int64)
-    kmer_considered = np.ascontiguousarray(kmer_considered, dtype=np.int64)
     selected = np.zeros(len(masked_kmers), dtype=np.uint8)
     lib.select_kmers_batch(
-        masked_kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-        seq_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        kmer_considered.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        len(kmer_considered),
-        selected.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        _as(masked_kmers, np.uint64, _u64p), _as(hashes, np.uint16, _u16p),
+        _as(seq_offsets, np.int64, _i64p),
+        _as(kmer_considered, np.int64, _i64p),
+        len(kmer_considered), selected.ctypes.data_as(_u8p))
     return selected.astype(bool)
+
+
+def score_pairs(data, offsets, lengths, qid, tid, diag,
+                is_rev) -> dict | None:
+    """End-to-end ungapped scoring of all pairs; returns raw arrays dict
+    (same schema as stages.rescorediagonal._score_pairs_numpy) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(qid)
+    out = {k: np.zeros(n, dtype=np.int32)
+           for k in ("score", "qstart", "qend", "tstart", "tend",
+                     "aln_len", "id_cnt")}
+    lib.score_pairs(
+        _as(data, np.uint8, _u8p), _as(offsets, np.int64, _i64p),
+        _as(lengths, np.int64, _i64p), _as(qid, np.int32, _i32p),
+        _as(tid, np.int32, _i32p), _as(diag, np.int32, _i32p),
+        _as(is_rev, np.uint8, _u8p), n,
+        *(out[k].ctypes.data_as(_i32p)
+          for k in ("score", "qstart", "qend", "tstart", "tend",
+                    "aln_len", "id_cnt")))
+    return out
+
+
+def correction_accumulate(data, offsets, lengths, rec_q, rec_t, rec_is_rev,
+                          rec_qstart, rec_tstart, rec_alen, rec_keep_pre,
+                          rec_ry_smin, total_len) -> tuple | None:
+    """RY-filter + coverage scatter; returns (counts, rev_counts) as
+    (total_len, 4, 11) int32 arrays, or None if no native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts = np.zeros(total_len * 44, dtype=np.int32)
+    rev_counts = np.zeros(total_len * 44, dtype=np.int32)
+    lib.correction_accumulate(
+        _as(data, np.uint8, _u8p), _as(offsets, np.int64, _i64p),
+        _as(lengths, np.int64, _i64p), _as(rec_q, np.int32, _i32p),
+        _as(rec_t, np.int32, _i32p), _as(rec_is_rev, np.uint8, _u8p),
+        _as(rec_qstart, np.int32, _i32p), _as(rec_tstart, np.int32, _i32p),
+        _as(rec_alen, np.int32, _i32p), _as(rec_keep_pre, np.uint8, _u8p),
+        _as(rec_ry_smin, np.int32, _i32p), len(rec_q),
+        counts.ctypes.data_as(_i32p), rev_counts.ctypes.data_as(_i32p))
+    return (counts.reshape(total_len, 4, 11),
+            rev_counts.reshape(total_len, 4, 11))

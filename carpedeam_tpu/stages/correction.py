@@ -57,6 +57,77 @@ def _canonicalize_alignments(aln: AlnDB, sl: slice):
 
 def correction(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
                corr_reads_ry_seq_id: float, seq_id_thr: float) -> SeqDB:
+    """Whole-DB fast path: native C++ coverage accumulation (one scatter
+    over all alignment records) + one vectorised argmax over the
+    (total_len, 4, 11) stack.  Falls back to the per-query NumPy oracle
+    below when the native toolchain is unavailable.  The likelihood drops
+    the per-position term_obs constant (argmax-invariant; identical output
+    on the full example DB, tests/test_rescore_correction.py)."""
+    from .. import native
+    from ..ops.correction_tpu import prepare_correction_inputs
+
+    n = len(seqdb)
+    total_len = int(seqdb.lengths.sum())
+    rec = prepare_correction_inputs(seqdb, aln, n, corr_reads_ry_seq_id,
+                                    seq_id_thr)
+    acc = native.correction_accumulate(
+        seqdb.data, seqdb.offsets, seqdb.lengths,
+        rec["rec_q"], (rec["rec_t_row"] % max(n, 1)).astype(np.int32),
+        rec["rec_is_rev"].astype(np.uint8), rec["rec_qstart"],
+        rec["rec_tstart"], rec["rec_alen"],
+        rec["rec_keep_pre"].astype(np.uint8), rec["rec_ry_smin"], total_len)
+    if acc is None:
+        return correction_per_query(seqdb, aln, damage,
+                                    corr_reads_ry_seq_id, seq_id_thr)
+    count, rev_count = acc
+
+    offsets = seqdb.offsets.astype(np.int64)
+    obs = CHAR_TO_ACGT[seqdb.data[:total_len]].astype(np.int64)
+    pos_in = np.arange(total_len, dtype=np.int64) \
+        - np.repeat(offsets, seqdb.lengths)
+    L_of = np.repeat(seqdb.lengths, seqdb.lengths)
+    own_layer = np.where(pos_in < 5, pos_in, 5)
+    from_end = pos_in - (L_of - 5)
+    own_layer = np.where(from_end >= 0, 6 + from_end, own_layer)
+    was_ext = np.repeat(seqdb.ext, seqdb.lengths)
+
+    seq_err = seq_error_profile(0.01)
+    log_err = np.log(seq_err)
+    log_deam_f = np.log(np.maximum(damage.fwd, SMOOTHING_VALUE))
+    log_deam_r = np.log(np.maximum(damage.rev, SMOOTHING_VALUE))
+
+    base_covs = count.sum(axis=2)
+    tot = base_covs.sum(axis=1)
+    log_q_err = log_err[:, obs].T
+    log_q_dam = np.log(np.maximum(
+        damage.fwd[own_layer[:, None], np.arange(4)[None, :], obs[:, None]],
+        SMOOTHING_VALUE))
+    log_q = np.where(was_ext[:, None], log_q_err, log_q_dam)
+    # contraction over (t, l) as one BLAS matmul: (p, 44) @ (44, q)
+    w_f = log_deam_f.transpose(2, 0, 1).reshape(44, 4)
+    w_r = log_deam_r.transpose(2, 0, 1).reshape(44, 4)
+    fwd_minus = (count - rev_count).reshape(-1, 44).astype(np.float64)
+    term_q = tot[:, None] * log_q
+    term_f = fwd_minus @ w_f
+    term_r = rev_count.reshape(-1, 44).astype(np.float64) @ w_r
+    new_base = np.argmax(term_q + term_f + term_r, axis=1)
+
+    # exact-rational form of the oracle's f64 `ratio >= 0.4` exits
+    ratio_exit = (~was_ext) & ((5 * base_covs[:, 3] >= 2 * tot)
+                               | (5 * base_covs[:, 0] >= 2 * tot))
+    corrected = np.where(ratio_exit, obs, new_base)
+    out_flat = np.where(tot <= 1, seqdb.data[:total_len],
+                        _ACGT_BYTES[corrected])
+    seqs = [out_flat[offsets[i]:offsets[i] + seqdb.lengths[i]].tobytes()
+            for i in range(n)]
+    return SeqDB.from_sequences(seqs, keys=seqdb.keys.copy(),
+                                ext=seqdb.ext.copy(), headers=seqdb.headers)
+
+
+def correction_per_query(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
+                         corr_reads_ry_seq_id: float,
+                         seq_id_thr: float) -> SeqDB:
+    """Per-query NumPy oracle (direct transcription of correction.cpp)."""
     key2id = seqdb.key_to_id()
     seq_err = seq_error_profile(0.01)  # seqErrCorrection = 0.01 (:196)
     log_err = np.log(seq_err)                     # (t, obs)

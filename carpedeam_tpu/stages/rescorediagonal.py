@@ -44,12 +44,33 @@ _UPPER = np.arange(256, dtype=np.uint8) & np.uint8(~0x20 & 0xFF)
 
 def rescorediagonal(seqdb: SeqDB, pref: PrefDB, seq_id_thr: float,
                     eval_thr: float = 0.001, aln_len_thr: int = 0) -> AlnDB:
-    """Score every prefilter hit and emit filtered alignment records
-    (NumPy scoring path; ops.rescore_tpu.rescorediagonal_tpu is the
-    device drop-in sharing assemble_alndb below)."""
-    raw = _score_pairs_numpy(seqdb, pref)
+    """Score every prefilter hit and emit filtered alignment records.
+
+    Host path: native C++ per-pair scan when the toolchain is available
+    (carpedeam_tpu/native), NumPy dense-window oracle otherwise — both
+    bit-identical.  ops.rescore_tpu.rescorediagonal_tpu is the device
+    drop-in sharing assemble_alndb below."""
+    raw = _score_pairs_native(seqdb, pref)
+    if raw is None:
+        raw = _score_pairs_numpy(seqdb, pref)
     return assemble_alndb(seqdb, pref, raw, seq_id_thr, eval_thr,
                           aln_len_thr)
+
+
+def _score_pairs_native(seqdb: SeqDB, pref: PrefDB) -> dict | None:
+    from .. import native
+
+    key2id = seqdb.key_to_id()
+    qid = np.array([key2id[int(k)] for k in pref.qkey], dtype=np.int32)
+    tid = np.array([key2id[int(k)] for k in pref.tkey], dtype=np.int32)
+    out = native.score_pairs(seqdb.data, seqdb.offsets, seqdb.lengths,
+                             qid, tid, pref.diag.astype(np.int32),
+                             (pref.score < 0).astype(np.uint8))
+    if out is None:
+        return None
+    out["qlen"] = seqdb.lengths[qid].astype(np.int64)
+    out["tlen"] = seqdb.lengths[tid].astype(np.int64)
+    return out
 
 
 def _score_pairs_numpy(seqdb: SeqDB, pref: PrefDB) -> dict:
@@ -181,27 +202,18 @@ def assemble_alndb(seqdb: SeqDB, pref: PrefDB, raw: dict, seq_id_thr: float,
     qend_out = np.where(is_rev, qlen - qend - 1, qend)
 
     # ---- assemble output in per-query record order -----------------------
-    idx = np.nonzero(emit)[0]
-    # group by query in pref's query order
-    starts_out = [0]
-    qkeys_out = []
-    order = []
-    for qi_ in range(len(pref.qkeys)):
-        sl = pref.records_for(qi_)
-        sel = idx[(idx >= sl.start) & (idx < sl.stop)]
-        if len(sel):
-            order.extend(sel.tolist())
-            starts_out.append(starts_out[-1] + len(sel))
-            qkeys_out.append(pref.qkeys[qi_])
-        else:
-            # reference writes an empty record for hit-less queries
-            starts_out.append(starts_out[-1])
-            qkeys_out.append(pref.qkeys[qi_])
-    order = np.array(order, dtype=np.int64)
+    # records are grouped by query in pref order, so the emitted indices in
+    # ascending order ARE the output order; per-query group sizes come from
+    # one searchsorted (the reference writes an empty record for hit-less
+    # queries, so every query keeps an entry in qkeys/starts)
+    order = np.nonzero(emit)[0]
+    qi_of = np.searchsorted(pref.starts[1:], order, side="right")
+    counts_q = np.bincount(qi_of, minlength=len(pref.qkeys))
+    starts_out = np.concatenate([[0], np.cumsum(counts_q)])
 
     return AlnDB.from_arrays(
-        qkey=pref.qkey[order], qkeys=np.array(qkeys_out, dtype=np.uint32),
-        starts=np.array(starts_out, dtype=np.int64),
+        qkey=pref.qkey[order], qkeys=pref.qkeys.astype(np.uint32),
+        starts=starts_out.astype(np.int64),
         tkey=pref.tkey[order],
         score=bits[order],
         seq_id=cpp_truncate_seqid(seq_id[order]),
