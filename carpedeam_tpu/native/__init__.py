@@ -78,6 +78,10 @@ def get_lib():
             _u8p, _i64p, _i64p, _i32p, _i32p, _u8p, _i32p, _i32p, _i32p,
             _u8p, _i32p, ctypes.c_int64, _i32p, _i32p]
         lib.correction_accumulate.restype = None
+        lib.cyclecheck_batch.argtypes = [_u8p, _i64p, _i64p, ctypes.c_int64,
+                                         ctypes.c_int64, ctypes.c_int64,
+                                         _i32p]
+        lib.cyclecheck_batch.restype = None
         _LIB = lib
         return _LIB
 
@@ -118,6 +122,22 @@ def score_pairs(data, offsets, lengths, qid, tid, diag,
           for k in ("score", "qstart", "qend", "tstart", "tend",
                     "aln_len", "id_cnt")))
     return out
+
+
+def cyclecheck_batch(data, offsets, lengths, k: int,
+                     max_seq_len: int) -> np.ndarray | None:
+    """Per-sequence circular-contig split diagonal (0 = not circular), or
+    None if no native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(lengths)
+    split = np.zeros(n, dtype=np.int32)
+    lib.cyclecheck_batch(
+        _as(data, np.uint8, _u8p), _as(offsets, np.int64, _i64p),
+        _as(lengths, np.int64, _i64p), n, k, max_seq_len,
+        split.ctypes.data_as(_i32p))
+    return split
 
 
 def correction_accumulate(data, offsets, lengths, rec_q, rec_t, rec_is_rev,

@@ -16,8 +16,11 @@
 //
 // OpenMP parallel over pairs/records like the reference's
 // `#pragma omp parallel for schedule(dynamic)` loops.
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <utility>
+#include <vector>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -202,6 +205,97 @@ void correction_accumulate(
             if (rev) {
 #pragma omp atomic
                 rev_counts[slot]++;
+            }
+        }
+    }
+}
+
+// Circular-contig detection (src/assembler/cyclecheck.cpp:77-254): split
+// each contig into thirds, count shared k-mers between thirds per diagonal
+// (diag >= L/3), and report the first diagonal whose ±1% band hit-rate
+// exceeds 0.24.  Output per sequence: the split diagonal (0 = not
+// circular), matching the Python oracle in stages/cyclecheck.py.
+void cyclecheck_batch(
+    const uint8_t *data, const int64_t *offsets, const int64_t *lengths,
+    int64_t n_seqs, int64_t k, int64_t max_seq_len,
+    int32_t *split_o)
+{
+#pragma omp parallel
+    {
+        std::vector<std::pair<uint64_t, int64_t>> front, middle, back;
+        std::vector<int64_t> diag_hits;
+#pragma omp for schedule(dynamic, 16)
+        for (int64_t s = 0; s < n_seqs; s++) {
+            split_o[s] = 0;
+            const int64_t L = lengths[s];
+            if (L >= max_seq_len || L < k) continue;
+            const uint8_t *sq = data + offsets[s];
+            const int64_t n = L - k + 1;
+            const int64_t third = L / 3;
+
+            // k-mer index per window: base-4 positional arithmetic over
+            // codes 0..4 — X=4 aliases into the next digit exactly like
+            // Indexer::int2index (cyclecheck.cpp:83,118).  The alias makes
+            // the value depend on carries, so no rolling update: recompute
+            // each window (k multiplies).
+            front.clear(); middle.clear(); back.clear();
+            for (int64_t p = 0; p + k <= L; p++) {
+                uint64_t v = 0;
+                for (int64_t j = 0; j < k; j++) v = v * 4 + T.code[sq[p + j]];
+                if (p < third + 1) front.emplace_back(v, p);
+                else if (p < 2 * third + 1) middle.emplace_back(v, p);
+                else back.emplace_back(v, p);
+            }
+            std::sort(front.begin(), front.end());
+            std::sort(middle.begin(), middle.end());
+            std::sort(back.begin(), back.end());
+
+            diag_hits.assign(2 * third + 1, 0);
+            int64_t kmermatches = 0;
+            auto join = [&](const std::vector<std::pair<uint64_t, int64_t>> &src,
+                            bool src_unique,
+                            const std::vector<std::pair<uint64_t, int64_t>> &dst) {
+                size_t i = 0, j = 0;
+                while (i < src.size() && j < dst.size()) {
+                    if (src_unique && i > 0 && src[i].first == src[i - 1].first) {
+                        i++;   // only the lowest-position entry per kmer
+                        continue;
+                    }
+                    if (src[i].first < dst[j].first) { i++; continue; }
+                    if (dst[j].first < src[i].first) { j++; continue; }
+                    // walk all dst entries with this kmer
+                    for (size_t jj = j; jj < dst.size() &&
+                                        dst[jj].first == src[i].first; jj++) {
+                        const int64_t diag = dst[jj].second - src[i].second;
+                        if (diag >= third) {
+                            diag_hits[diag - third]++;
+                            kmermatches++;
+                        }
+                    }
+                    i++;   // j stays: next unique src kmer may differ
+                }
+            };
+            join(front, true, back);
+            join(front, true, middle);
+            join(middle, true, back);
+
+            if (kmermatches == 0) continue;
+            for (int64_t d = 0; d < 2 * third; d++) {
+                if (diag_hits[d] == 0) continue;
+                const int64_t diag = d + third;
+                const int64_t diaglen = L - diag;
+                const int64_t gap = (int64_t)(diaglen * 0.01);
+                const int64_t lower = d - gap > 0 ? d - gap : 0;
+                const int64_t upper = d + gap < 2 * third ? d + gap : 2 * third;
+                int64_t band_hits = 0;
+                for (int64_t b = lower; b <= upper; b++)
+                    if (diag_hits[b] <= diag_hits[d]) band_hits += diag_hits[b];
+                // NumPy-oracle semantics: f32 division, f32 compare
+                const float rate = (float)band_hits / (float)(diaglen - k + 1);
+                if (rate > 0.24f) {
+                    split_o[s] = (int32_t)diag;
+                    break;
+                }
             }
         }
     }

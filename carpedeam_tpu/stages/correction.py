@@ -98,26 +98,34 @@ def correction(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
 
     base_covs = count.sum(axis=2)
     tot = base_covs.sum(axis=1)
-    log_q_err = log_err[:, obs].T
+    # positions with coverage <= 1 pass through unchanged (:418) — restrict
+    # the likelihood math to the active rows (most contig-phase positions
+    # are uncovered, so this is the dominant saving there)
+    active = np.nonzero(tot > 1)[0]
+    obs_a = obs[active]
+    tot_a = tot[active]
+    log_q_err = log_err[:, obs_a].T
     log_q_dam = np.log(np.maximum(
-        damage.fwd[own_layer[:, None], np.arange(4)[None, :], obs[:, None]],
-        SMOOTHING_VALUE))
-    log_q = np.where(was_ext[:, None], log_q_err, log_q_dam)
+        damage.fwd[own_layer[active][:, None], np.arange(4)[None, :],
+                   obs_a[:, None]], SMOOTHING_VALUE))
+    log_q = np.where(was_ext[active][:, None], log_q_err, log_q_dam)
     # contraction over (t, l) as one BLAS matmul: (p, 44) @ (44, q)
     w_f = log_deam_f.transpose(2, 0, 1).reshape(44, 4)
     w_r = log_deam_r.transpose(2, 0, 1).reshape(44, 4)
-    fwd_minus = (count - rev_count).reshape(-1, 44).astype(np.float64)
-    term_q = tot[:, None] * log_q
+    ca = count.reshape(-1, 44)[active]
+    ra = rev_count.reshape(-1, 44)[active]
+    fwd_minus = np.subtract(ca, ra, dtype=np.float64)
+    term_q = tot_a[:, None] * log_q
     term_f = fwd_minus @ w_f
-    term_r = rev_count.reshape(-1, 44).astype(np.float64) @ w_r
+    term_r = ra.astype(np.float64) @ w_r
     new_base = np.argmax(term_q + term_f + term_r, axis=1)
 
     # exact-rational form of the oracle's f64 `ratio >= 0.4` exits
-    ratio_exit = (~was_ext) & ((5 * base_covs[:, 3] >= 2 * tot)
-                               | (5 * base_covs[:, 0] >= 2 * tot))
-    corrected = np.where(ratio_exit, obs, new_base)
-    out_flat = np.where(tot <= 1, seqdb.data[:total_len],
-                        _ACGT_BYTES[corrected])
+    bc_a = base_covs[active]
+    ratio_exit = (~was_ext[active]) & ((5 * bc_a[:, 3] >= 2 * tot_a)
+                                       | (5 * bc_a[:, 0] >= 2 * tot_a))
+    out_flat = seqdb.data[:total_len].copy()
+    out_flat[active] = _ACGT_BYTES[np.where(ratio_exit, obs_a, new_base)]
     seqs = [out_flat[offsets[i]:offsets[i] + seqdb.lengths[i]].tobytes()
             for i in range(n)]
     return SeqDB.from_sequences(seqs, keys=seqdb.keys.copy(),

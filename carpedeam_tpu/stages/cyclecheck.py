@@ -112,11 +112,22 @@ def cyclecheck(seqdb: SeqDB, k: int = 22, chop: bool = True,
                max_seq_len: int = 200000):
     """Returns (cycle SeqDB, none_cycle SeqDB): circular contigs (chopped)
     and the remainder, mirroring the script's cycle/noneCycle split
-    (data/nuclassemble.sh:19-61)."""
+    (data/nuclassemble.sh:19-61).  Native batch kernel when available;
+    per-sequence NumPy oracle (check_one) otherwise."""
+    from .. import native
+
+    split = native.cyclecheck_batch(seqdb.data, seqdb.offsets,
+                                    seqdb.lengths, k, max_seq_len)
     cyc_seqs, cyc_keys, cyc_ext = [], [], []
     keep_idx = []
     for i in range(len(seqdb)):
-        res = check_one(seqdb.seq_bytes(i), k, chop, max_seq_len)
+        if split is not None:
+            res = None
+            if split[i] > 0:
+                sb = seqdb.seq_bytes(i)
+                res = bytes(sb[:split[i]]) if chop else bytes(sb)
+        else:
+            res = check_one(seqdb.seq_bytes(i), k, chop, max_seq_len)
         if res is not None:
             cyc_seqs.append(res)
             cyc_keys.append(int(seqdb.keys[i]))
