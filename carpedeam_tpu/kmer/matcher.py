@@ -374,13 +374,52 @@ def build_pref_db(seqdb: SeqDB, centre_id, centre_fwd, member_id,
     (centre, member) keep the diagonal with the longest consecutive run
     (ties -> later run wins), score = number of shared k-mers, strand from
     the best run's entry; prepend a self-hit per centre; append empty
-    self-hit entries for sequences that never became a centre."""
+    self-hit entries for sequences that never became a centre.
+
+    Native C++ scan when available; Python fallback below."""
     # sort by (centre, member, diagonal)   [compareRepSequenceAndIdAndDiagReverse]
     order = np.lexsort((diagonal, member_id, centre_id))
     c = centre_id[order]
     f = centre_fwd[order]
     m = member_id[order]
     d = diagonal[order]
+
+    from .. import native
+    scan = native.build_pref_scan(c, f, m, d, seqdb.keys) \
+        if len(c) else None
+    if scan is not None:
+        qkey_r, tkey_r, score_r, diag_r, grs, gcentre = scan
+        n_rows = len(qkey_r)
+        starts_np = np.concatenate([grs, [n_rows]])
+        out_qkeys_np = seqdb.keys[gcentre]
+        qext_np = np.zeros(len(gcentre), dtype=bool)
+        # sequences never written as a centre: empty self-hit,
+        # wasExtended passthrough (:716-729, "Louis was here")
+        missing = np.setdiff1d(np.arange(len(seqdb), dtype=np.int64),
+                               gcentre, assume_unique=False)
+        if len(missing):
+            mk = seqdb.keys[missing].astype(np.uint32)
+            qkey_r = np.concatenate([qkey_r, mk])
+            tkey_r = np.concatenate([tkey_r, mk])
+            score_r = np.concatenate([score_r,
+                                      np.zeros(len(missing), np.int32)])
+            diag_r = np.concatenate([diag_r,
+                                     np.zeros(len(missing), np.int32)])
+            starts_np = np.concatenate([
+                starts_np, starts_np[-1] + 1 + np.arange(len(missing))])
+            out_qkeys_np = np.concatenate([out_qkeys_np, mk])
+            qext_np = np.concatenate([qext_np, seqdb.ext[missing]])
+        return PrefDB(qkey=qkey_r.astype(np.uint32),
+                      tkey=tkey_r.astype(np.uint32),
+                      score=score_r.astype(np.int32),
+                      diag=diag_r.astype(np.int32),
+                      starts=starts_np.astype(np.int64),
+                      qkeys=out_qkeys_np.astype(np.uint32),
+                      qext=qext_np)
+    return _build_pref_db_python(seqdb, c, f, m, d)
+
+
+def _build_pref_db_python(seqdb: SeqDB, c, f, m, d) -> PrefDB:
 
     qkey_rows, tkey_rows, score_rows, diag_rows = [], [], [], []
     starts = [0]

@@ -82,6 +82,12 @@ def get_lib():
                                          ctypes.c_int64, ctypes.c_int64,
                                          _i32p]
         lib.cyclecheck_batch.restype = None
+        _u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.build_pref_scan.argtypes = [_i64p, _u8p, _i64p, _i32p,
+                                        ctypes.c_int64, _u32p,
+                                        _u32p, _u32p, _i32p, _i32p,
+                                        _i64p, _i64p, _i64p]
+        lib.build_pref_scan.restype = ctypes.c_int64
         _LIB = lib
         return _LIB
 
@@ -122,6 +128,35 @@ def score_pairs(data, offsets, lengths, qid, tid, diag,
           for k in ("score", "qstart", "qend", "tstart", "tend",
                     "aln_len", "id_cnt")))
     return out
+
+
+def build_pref_scan(c, f, m, d, keys) -> tuple | None:
+    """writeKmerMatcherResult scan; returns (qkey, tkey, score, diag,
+    group_row_start, group_centre) arrays or None if no native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _u32p = ctypes.POINTER(ctypes.c_uint32)
+    n = len(c)
+    cap = 2 * n + 2
+    qkey = np.zeros(cap, dtype=np.uint32)
+    tkey = np.zeros(cap, dtype=np.uint32)
+    score = np.zeros(cap, dtype=np.int32)
+    diag = np.zeros(cap, dtype=np.int32)
+    grs = np.zeros(n + 1, dtype=np.int64)
+    gc = np.zeros(n + 1, dtype=np.int64)
+    ng = np.zeros(1, dtype=np.int64)
+    n_rows = lib.build_pref_scan(
+        _as(c, np.int64, _i64p), _as(f, np.uint8, _u8p),
+        _as(m, np.int64, _i64p), _as(d, np.int32, _i32p), n,
+        _as(keys, np.uint32, _u32p),
+        qkey.ctypes.data_as(_u32p), tkey.ctypes.data_as(_u32p),
+        score.ctypes.data_as(_i32p), diag.ctypes.data_as(_i32p),
+        grs.ctypes.data_as(_i64p), gc.ctypes.data_as(_i64p),
+        ng.ctypes.data_as(_i64p))
+    g = int(ng[0])
+    return (qkey[:n_rows], tkey[:n_rows], score[:n_rows], diag[:n_rows],
+            grs[:g], gc[:g])
 
 
 def cyclecheck_batch(data, offsets, lengths, k: int,

@@ -210,6 +210,88 @@ void correction_accumulate(
     }
 }
 
+// writeKmerMatcherResult scan (kmermatcher.cpp:841-929): over entries
+// sorted by (centre, member, diagonal), emit one hit per (centre, member)
+// with the longest-run diagonal (ties -> later run) and the shared-k-mer
+// count as score (negative = reverse strand).  Faithful to the reference
+// quirk that the per-member look-ahead does NOT stop at the centre-group
+// boundary.  Rows for each written centre start with a self-hit.
+// Returns the number of rows; groups_* receive per-written-centre info.
+int64_t build_pref_scan(
+    const int64_t *c, const uint8_t *f, const int64_t *m, const int32_t *d,
+    int64_t n, const uint32_t *keys,
+    uint32_t *qkey_o, uint32_t *tkey_o, int32_t *score_o, int32_t *diag_o,
+    int64_t *group_row_start, int64_t *group_centre, int64_t *n_groups_o)
+{
+    int64_t n_rows = 0, n_groups = 0;
+    int64_t rep = -1;
+    int64_t block_start = 0;   // row index of the pending centre's self-hit
+    int64_t wrote = 0;
+    int64_t last_target = -1;
+    bool have_last = false;
+
+    auto flush = [&]() {
+        if (rep >= 0 && wrote > 0) {
+            group_row_start[n_groups] = block_start;
+            group_centre[n_groups] = rep;
+            n_groups++;
+        } else if (rep >= 0) {
+            n_rows = block_start;   // drop the unused self-hit row
+        }
+    };
+
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t centre = c[i];
+        const bool rever_mask = !f[i];
+        if (rep < 0 || centre != rep) {
+            flush();
+            rep = centre;
+            block_start = n_rows;
+            qkey_o[n_rows] = keys[centre];
+            tkey_o[n_rows] = keys[centre];
+            score_o[n_rows] = 0;
+            diag_o[n_rows] = 0;
+            n_rows++;
+            wrote = 0;
+            have_last = false;
+            last_target = -1;
+        }
+        const int64_t target = m[i];
+        int32_t diagonal = d[i];
+        bool best_rev = rever_mask;
+        int32_t prev_diag = diagonal;
+        int64_t max_diag = 0, diag_cnt = 0, top = 0;
+        if (!(have_last && last_target == target)) {
+            for (int64_t j = i; j < n && m[j] == target; j++) {
+                diag_cnt = (prev_diag == d[j]) ? diag_cnt + 1 : 1;
+                if (diag_cnt >= max_diag) {
+                    diagonal = d[j];
+                    max_diag = diag_cnt;
+                    best_rev = !f[j];
+                }
+                prev_diag = d[j];
+                top++;
+            }
+        }
+        if (target == rep || (have_last && last_target == target)) {
+            last_target = target;
+            have_last = true;
+            continue;
+        }
+        qkey_o[n_rows] = keys[rep];
+        tkey_o[n_rows] = keys[target];
+        score_o[n_rows] = (int32_t)(best_rev ? -top : top);
+        diag_o[n_rows] = (int32_t)(int16_t)diagonal;   // short truncation
+        n_rows++;
+        wrote++;
+        last_target = target;
+        have_last = true;
+    }
+    flush();
+    *n_groups_o = n_groups;
+    return n_rows;
+}
+
 // Circular-contig detection (src/assembler/cyclecheck.cpp:77-254): split
 // each contig into thirds, count shared k-mers between thirds per diagonal
 // (diag >= L/3), and report the first diagonal whose ±1% band hit-rate
