@@ -69,6 +69,22 @@ class SeqDB:
         ext = np.zeros(n, dtype=bool) if ext is None else np.asarray(ext, dtype=bool)
         return SeqDB(data, offsets, lengths, keys, ext, headers)
 
+    @staticmethod
+    def from_flat(data: np.ndarray, lengths: np.ndarray, keys=None,
+                  ext=None, headers=None) -> "SeqDB":
+        """Construct directly from a dense flat byte array (records
+        concatenated with no separators) without re-joining sequences."""
+        lengths = np.asarray(lengths, dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]) \
+            .astype(np.int64) if len(lengths) else np.zeros(0, np.int64)
+        n = len(lengths)
+        keys = np.arange(n, dtype=np.uint32) if keys is None \
+            else np.asarray(keys, dtype=np.uint32)
+        ext = np.zeros(n, dtype=bool) if ext is None \
+            else np.asarray(ext, dtype=bool)
+        return SeqDB(np.asarray(data, dtype=np.uint8), offsets, lengths,
+                     keys, ext, headers)
+
     def select(self, idx) -> "SeqDB":
         """Sub-DB of rows `idx` (createsubdb equivalent)."""
         idx = np.asarray(idx)

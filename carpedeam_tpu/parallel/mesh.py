@@ -199,11 +199,9 @@ def correction_sharded(mesh: Mesh):
 
         acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
         out_flat = np.where(tot <= 1, seqdb.data[:total_len], acgt[corrected])
-        seqs = [out_flat[offsets[i]:offsets[i] + seqdb.lengths[i]].tobytes()
-                for i in range(n)]
-        return SeqDB.from_sequences(seqs, keys=seqdb.keys.copy(),
-                                    ext=seqdb.ext.copy(),
-                                    headers=seqdb.headers)
+        return SeqDB.from_flat(out_flat, seqdb.lengths.copy(),
+                               keys=seqdb.keys.copy(), ext=seqdb.ext.copy(),
+                               headers=seqdb.headers)
 
     return stage
 

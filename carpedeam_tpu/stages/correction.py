@@ -126,10 +126,9 @@ def correction(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
                                        | (5 * bc_a[:, 0] >= 2 * tot_a))
     out_flat = seqdb.data[:total_len].copy()
     out_flat[active] = _ACGT_BYTES[np.where(ratio_exit, obs_a, new_base)]
-    seqs = [out_flat[offsets[i]:offsets[i] + seqdb.lengths[i]].tobytes()
-            for i in range(n)]
-    return SeqDB.from_sequences(seqs, keys=seqdb.keys.copy(),
-                                ext=seqdb.ext.copy(), headers=seqdb.headers)
+    return SeqDB.from_flat(out_flat, seqdb.lengths.copy(),
+                           keys=seqdb.keys.copy(), ext=seqdb.ext.copy(),
+                           headers=seqdb.headers)
 
 
 def correction_per_query(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
