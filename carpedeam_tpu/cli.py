@@ -48,6 +48,34 @@ def main(argv=None) -> int:
     sp = sub.add_parser("convert2fasta")
     sp.add_argument("files", nargs=2, help="DB_PREFIX OUT_FASTA")
 
+    # --- stage-level commands on saved DBs (the reference's hidden
+    # subcommand surface, src/carpedeam.cpp:25-72) ----------------------
+    sp = sub.add_parser("mergereads")
+    sp.add_argument("files", nargs="+", help="R1.fq R2.fq [...] OUT_DB")
+
+    sp = sub.add_parser("createdb")
+    sp.add_argument("files", nargs=2, help="IN_FASTX OUT_DB")
+    sp.add_argument("--shuffle", type=int, choices=(0, 1), default=1)
+
+    sp = sub.add_parser("kmermatcher")
+    sp.add_argument("files", nargs=2, help="SEQ_DB OUT_PREF_DB")
+    add_flags(sp)
+
+    sp = sub.add_parser("rescorediagonal")
+    sp.add_argument("files", nargs=3, help="SEQ_DB PREF_DB OUT_ALN_DB")
+    add_flags(sp)
+
+    for name in ("ancient_correction", "ancient_read_assemble",
+                 "ancient_contig_merge"):
+        sp = sub.add_parser(name)
+        sp.add_argument("files", nargs=3, help="SEQ_DB ALN_DB OUT_SEQ_DB")
+        add_flags(sp)
+
+    sp = sub.add_parser("createhdb")
+    sp.add_argument("files", nargs=2, help="SEQ_DB OUT_DB")
+    sp.add_argument("--cycle-keys", default="",
+                    help="comma-separated keys flagged cycle:1")
+
     args = parser.parse_args(argv)
 
     if args.command in ("ancient_assemble", "nuclassemble"):
@@ -90,6 +118,85 @@ def main(argv=None) -> int:
     if args.command == "convert2fasta":
         db = SeqDB.load(args.files[0])
         db.to_fasta(args.files[1])
+        return 0
+
+    if args.command == "mergereads":
+        from .stages.mergereads import mergereads
+        *fq, out = args.files
+        db = mergereads(fq)
+        db.save(out)
+        print(f"[carpedeam-tpu] {len(db)} records -> {out}")
+        return 0
+
+    if args.command == "createdb":
+        db = SeqDB.from_fastx(args.files[0], shuffle=bool(args.shuffle))
+        db.save(args.files[1])
+        print(f"[carpedeam-tpu] {len(db)} records -> {args.files[1]}")
+        return 0
+
+    if args.command == "kmermatcher":
+        from .kmer.matcher import kmermatcher
+        p = params_from_args(args)
+        db = SeqDB.load(args.files[0])
+        pref = kmermatcher(db, p.kmer_size, p.kmers_per_sequence,
+                           p.kmers_per_sequence_scale,
+                           p.include_only_extendable_contigs, p.hash_shift)
+        pref.save(args.files[1])
+        print(f"[carpedeam-tpu] {len(pref.qkey)} hits -> {args.files[1]}")
+        return 0
+
+    if args.command == "rescorediagonal":
+        from .aligndb import PrefDB
+        from .stages.rescorediagonal import rescorediagonal
+        p = params_from_args(args)
+        db = SeqDB.load(args.files[0])
+        pref = PrefDB.load(args.files[1])
+        aln = rescorediagonal(db, pref, p.seq_id_thr, p.eval_thr,
+                              p.aln_len_thr)
+        aln.save(args.files[2])
+        print(f"[carpedeam-tpu] {len(aln.qkey)} alignments -> {args.files[2]}")
+        return 0
+
+    if args.command in ("ancient_correction", "ancient_read_assemble",
+                        "ancient_contig_merge"):
+        from .aligndb import AlnDB
+        p = params_from_args(args)
+        db = SeqDB.load(args.files[0])
+        aln = AlnDB.load(args.files[1])
+        damage = DamageModel.load(p.ancient_damage_path)
+        if args.command == "ancient_correction":
+            from .stages.correction import correction
+            out_db = correction(db, aln, damage, p.corr_reads_ry_seq_id,
+                                p.corr_reads_seq_id)
+        elif args.command == "ancient_read_assemble":
+            from .stages.read_assembly import read_assembly
+            out_db = read_assembly(db, aln, damage, p.seq_id_thr,
+                                   p.ry_seq_id_thr, p.likelihood_threshold,
+                                   p.random_align_penal, p.excess_penal,
+                                   p.max_seq_len, p.ancient_unsafe,
+                                   p.min_cov_safe)
+        else:
+            from .stages.contig_merge import contig_merge
+            out_db = contig_merge(db, aln, damage, p.merge_seq_id_thr,
+                                  p.ry_seq_id_thr, p.max_seq_len,
+                                  p.ancient_unsafe, p.min_cov_safe)
+        out_db.save(args.files[2])
+        print(f"[carpedeam-tpu] {len(out_db)} records -> {args.files[2]}")
+        return 0
+
+    if args.command == "createhdb":
+        # header DB 'ID len:<len> [cycle:<0|1>]' (src/util/createhdb.cpp:47-68)
+        db = SeqDB.load(args.files[0])
+        cyc = {int(k) for k in args.cycle_keys.split(",") if k}
+        headers = []
+        for i in range(len(db)):
+            h = f"{i} len:{int(db.lengths[i])}"
+            if cyc:
+                h += f" cycle:{1 if int(db.keys[i]) in cyc else 0}"
+            headers.append(h)
+        db.headers = headers
+        db.save(args.files[1])
+        print(f"[carpedeam-tpu] {len(db)} headers -> {args.files[1]}")
         return 0
 
     return 1

@@ -92,6 +92,8 @@ _FLAGS = {
     "--k-ancient-contigs": ("kmer_size_contigs", int),
     "--kmer-per-seq-ancient": ("kmers_per_sequence", int),
     "--kmer-per-seq-scale-ancient": ("kmers_per_sequence_scale", float),
+    "--include-only-extendable": ("include_only_extendable_contigs", bool),
+    "--hash-shift": ("hash_shift", int),
     "--min-seq-id": ("seq_id_thr", float),
     "--min-merge-seq-id": ("merge_seq_id_thr", float),
     "--min-ryseq-id": ("ry_seq_id_thr", float),

@@ -116,7 +116,8 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                                 params.ry_seq_id_thr,
                                 params.likelihood_threshold,
                                 params.random_align_penal,
-                                params.excess_penal, params.max_seq_len)
+                                params.excess_penal, params.max_seq_len,
+                                params.ancient_unsafe, params.min_cov_safe)
         else:
             pref = kmermatcher(cur, params.kmer_size_contigs,
                                params.kmers_per_sequence,
@@ -129,7 +130,8 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                                  params.corr_reads_ry_seq_id,
                                  params.corr_contig_seq_id)
             nxt = contig_merge(corr, aln, damage, params.merge_seq_id_thr,
-                               params.ry_seq_id_thr, params.max_seq_len)
+                               params.ry_seq_id_thr, params.max_seq_len,
+                               params.ancient_unsafe, params.min_cov_safe)
 
         if ck.tmp:
             nxt.save(ck.path(name))

@@ -173,7 +173,10 @@ def _ancient_match_count(c: _Cand, consensus: np.ndarray, query_len: int,
 
 def contig_merge(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
                  merge_seq_id_thr: float, ry_seq_id_thr: float,
-                 max_seq_len: int) -> SeqDB:
+                 max_seq_len: int, unsafe: bool = False,
+                 min_cov_safe: int = 5) -> SeqDB:
+    from .consensus import consensus_caller
+
     key2id = seqdb.key_to_id()
     aln_by_key = {int(k): i for i, k in enumerate(aln.qkeys)}
     aln_len_all = aln.aln_len
@@ -224,8 +227,9 @@ def contig_merge(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
 
         query = qseq.copy()
         qlen_cur = L
-        consensus = np.full(3 * qlen_cur, ord("N"), dtype=np.uint8)
-        consensus[qlen_cur:2 * qlen_cur] = query
+        consensus = consensus_caller(
+            cands, lambda c_: tgt_bytes[(c_.tkey, c_.is_rev)], query,
+            qlen_cur, unsafe, min_cov_safe)
         for c in cands:
             _update_vs_consensus(c, consensus, qlen_cur,
                                  tgt_bytes[(c.tkey, c.is_rev)])

@@ -108,8 +108,11 @@ def _ungapped_realign(query: np.ndarray, target: np.ndarray, diag: int):
 def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
                   seq_id_thr: float, ry_seq_id_thr: float,
                   likelihood_thr: float, rand_aln_penal: float,
-                  excess_penal: float, max_seq_len: int) -> SeqDB:
+                  excess_penal: float, max_seq_len: int,
+                  unsafe: bool = False, min_cov_safe: int = 5) -> SeqDB:
     """One iteration of read-phase extension over the whole (corrected) DB."""
+    from .consensus import consensus_caller
+
     key2id = seqdb.key_to_id()
     seq_err = seq_error_profile(0.001)  # doNuclAssembly1 uses 0.001 (:172)
     logm_fwd = likelihood_table(damage.fwd, seq_err)
@@ -164,18 +167,19 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
             out_ext.append(bool(seqdb.ext[i]))
             continue
 
-        # ---- consensus (safe mode) + seqId update + likelihood ----------
+        # ---- consensus + seqId update + likelihood ----------------------
         query = qseq.copy()
         qlen_cur = L
-        consensus = np.full(3 * qlen_cur, ord("N"), dtype=np.uint8)
-        consensus[qlen_cur:2 * qlen_cur] = query
         max_left = 0
         max_right = 0
         tgt_bytes = {}
         for c in cands:
-            tid = key2id[c.tkey]
-            tb = np.array(seqdb.seq_bytes(tid), dtype=np.uint8)
-            tgt_bytes[c.tkey] = tb
+            tgt_bytes[c.tkey] = np.array(seqdb.seq_bytes(key2id[c.tkey]),
+                                         dtype=np.uint8)
+        consensus = consensus_caller(cands, lambda c_: tgt_bytes[c_.tkey],
+                                     query, qlen_cur, unsafe, min_cov_safe)
+        for c in cands:
+            tb = tgt_bytes[c.tkey]
             sid, ryid, total, side = _seq_id_vs_consensus(c, consensus,
                                                           qlen_cur, tb)
             c.seq_id, c.ry_seq_id = sid, ryid
@@ -283,8 +287,10 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
                 c.qlen = qlen_cur
                 c.aln_len = dlen
 
-            consensus = np.full(3 * qlen_cur, ord("N"), dtype=np.uint8)
-            consensus[qlen_cur:2 * qlen_cur] = query
+            consensus = consensus_caller(deferred,
+                                         lambda c_: tgt_bytes[c_.tkey],
+                                         query, qlen_cur, unsafe,
+                                         min_cov_safe)
             for c in deferred:
                 sid, ryid, total, side = _seq_id_vs_consensus(
                     c, consensus, qlen_cur, tgt_bytes[c.tkey])
