@@ -213,6 +213,23 @@ class SeqDB:
         return SeqDB.from_sequences(seqs, keys=np.array(keys, dtype=np.uint32),
                                     ext=np.array(ext, dtype=bool))
 
+    def write_mmseqs(self, db_path: str, dbtype: int | None = None) -> None:
+        """Write a reference-format on-disk DB (data + .index + .dbtype)
+        that the reference binary's DBReader can mmap: records are
+        '\\n\\0'-terminated, the 4-column index carries the wasExtended
+        flag (DBWriter.cpp:415-424)."""
+        with open(db_path, "wb") as fd, open(db_path + ".index", "w") as fi:
+            off = 0
+            for i in range(len(self)):
+                rec = self.seq_bytes(i).tobytes() + b"\n\x00"
+                fd.write(rec)
+                fi.write(f"{int(self.keys[i])}\t{off}\t{len(rec)}\t"
+                         f"{1 if self.ext[i] else 0}\n")
+                off += len(rec)
+        with open(db_path + ".dbtype", "wb") as ft:
+            ft.write(np.int32(dbtype if dbtype is not None
+                              else self.dbtype).tobytes())
+
     @staticmethod
     def read_mmseqs_records(db_path: str) -> dict[int, str]:
         """Read a reference result DB as {key: record-text} (for prefilter /

@@ -346,17 +346,52 @@ def assign_groups(kmer: np.ndarray, ids: np.ndarray, pos: np.ndarray,
             diagonal[keep].astype(np.int32), member_len)
 
 
+def sort_kmer_entries_device(ent: dict) -> np.ndarray:
+    """Device-side global sort of the k-mer table (the ips4o SORT_PARALLEL
+    analogue, kmermatcher.cpp:409-415): one `jax.lax.sort` over the
+    lexicographic key (kmer|b63 asc, seqLen desc, id asc, pos asc).  The
+    uint64 k-mer key is split into hi/lo uint32 halves for robust TPU
+    lowering.  Returns the permutation as int32 indices."""
+    import jax
+    import jax.numpy as jnp
+
+    masked = ent["kmer"] | BIT63
+    hi = (masked >> np.uint64(32)).astype(np.uint32)
+    lo = (masked & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    neg_len = (~ent["seq_len"].astype(np.int32))  # ascending == len desc
+    ids = ent["id"].astype(np.int32)
+    pos = ent["pos"].astype(np.int32)
+    idx = np.arange(len(masked), dtype=np.int32)
+
+    @jax.jit
+    def _sort(hi, lo, neg_len, ids, pos, idx):
+        out = jax.lax.sort((hi, lo, neg_len, ids, pos, idx), num_keys=5)
+        return out[-1]
+
+    return np.asarray(_sort(hi, lo, neg_len, ids, pos, idx))
+
+
 def kmermatcher(seqdb: SeqDB, k: int, kmers_per_sequence: int,
                 kmers_per_sequence_scale: float,
                 include_only_extendable: bool,
                 hash_shift: int = 67, cov_mode: int = 0,
-                cov_thr: float = 0.0) -> PrefDB:
-    """Full single-shard kmermatcher stage -> prefilter hit table."""
+                cov_thr: float = 0.0, device_sort: bool | None = None) -> PrefDB:
+    """Full single-shard kmermatcher stage -> prefilter hit table.
+
+    `device_sort` routes the global k-mer sort through `jax.lax.sort` on
+    the accelerator (auto: when the default backend is not the host CPU)."""
     ent = extract_selected_kmers_batched(seqdb, k, kmers_per_sequence,
                                          kmers_per_sequence_scale, hash_shift)
     # sort by (kmer|b63 asc, seqLen desc, id asc, pos asc)  (:409-415)
-    order = np.lexsort((ent["pos"], ent["id"], -ent["seq_len"].astype(np.int64),
-                        ent["kmer"] | BIT63))
+    if device_sort is None:
+        from ..utils import device_is_tpu
+        device_sort = device_is_tpu() and len(ent["kmer"]) >= (1 << 22)
+    if device_sort:
+        order = sort_kmer_entries_device(ent)
+    else:
+        order = np.lexsort((ent["pos"], ent["id"],
+                            -ent["seq_len"].astype(np.int64),
+                            ent["kmer"] | BIT63))
     kmer = ent["kmer"][order]
     ids = ent["id"][order]
     pos = ent["pos"][order]

@@ -34,6 +34,19 @@ def test_sharded_correction_matches_oracle(example_reads, damage_model):
         assert bytes(ora.seq_bytes(i)) == bytes(dev.seq_bytes(i))
 
 
+def test_device_sort_matches_lexsort(example_reads):
+    """jax.lax.sort path of the global k-mer table sort == host lexsort
+    (key is unique per entry, so total order is deterministic)."""
+    from carpedeam_tpu.kmer.matcher import (BIT63, sort_kmer_entries_device)
+    db = example_reads.select(np.arange(0, len(example_reads), 50))
+    ent = extract_selected_kmers_batched(db, 20, 200, 0.2, 67)
+    host = np.lexsort((ent["pos"], ent["id"],
+                       -ent["seq_len"].astype(np.int64),
+                       ent["kmer"] | BIT63))
+    dev = sort_kmer_entries_device(ent)
+    assert np.array_equal(host, dev)
+
+
 def test_kmer_hash_range_shards_partition_the_table(example_reads):
     """Hash-prefix sharding (the reference's MPI split scheme): the union
     of per-range extractions equals the unsharded extraction."""
