@@ -1,0 +1,151 @@
+"""Multi-host distribution of the assembly pipeline.
+
+The reference distributes with MPI over a shared filesystem
+(lib/mmseqs/src/commons/MMseqsMPI.{h,cpp}):
+
+* kmermatcher: the 16-bit hash space is split into ranges, ranges are
+  assigned round-robin over ranks (kmermatcher.cpp:636-664), every rank
+  writes its sorted entry spill files, and rank 0 k-way merges them back
+  into one globally sorted stream before the group/scan phase
+  (mergeKmerFilesAndOutput, :957) — so the distributed result is
+  bit-identical to the single-node run.
+* rescorediagonal: record ranges per rank (decomposeDomainByAminoAcid)
+  with a rank-0 result merge (rescorediagonal.cpp:400-422).
+
+The TPU-native equivalent keeps the same two axes:
+
+* across *hosts* (DCN): `jax.distributed` process groups; each process
+  owns a round-robin subset of hash ranges / record ranges and the merge
+  happens on process 0 through the shared filesystem (`shard_dir`),
+  preserving the reference's exact merge contract (bit-identical output,
+  tested in tests/test_distributed.py);
+* across *devices within a host* (ICI): `parallel.mesh` shard_map stages
+  (pairs/records data-parallel, coverage psum).
+
+`kmermatcher_sharded` is the single-process form of the same contract
+(compute shard entry tables independently, merge, group once) and is the
+unit each process executes.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+from ..io.seqdb import SeqDB
+from ..kmer.matcher import (BIT63, assign_groups, build_pref_db,
+                            extract_selected_kmers_batched)
+from .mesh import kmer_hash_ranges
+
+
+def shards_for_process(n_shards: int, process_id: int,
+                       num_processes: int) -> list[int]:
+    """Round-robin shard assignment (kmermatcher.cpp:642-651)."""
+    return [s for s in range(n_shards) if s % num_processes == process_id]
+
+
+def extract_shard_entries(seqdb: SeqDB, k: int, kmers_per_sequence: int,
+                          kmers_per_sequence_scale: float, hash_shift: int,
+                          shard: int, n_shards: int) -> dict:
+    """One hash-range shard's selected k-mer entries, pre-sorted by the
+    global sort key (the reference's per-split spill file)."""
+    lo, hi = kmer_hash_ranges(n_shards)[shard]
+    ent = extract_selected_kmers_batched(
+        seqdb, k, kmers_per_sequence, kmers_per_sequence_scale, hash_shift,
+        hash_range=(lo, hi))
+    order = np.lexsort((ent["pos"], ent["id"],
+                        -ent["seq_len"].astype(np.int64),
+                        ent["kmer"] | BIT63))
+    return {k_: v[order] for k_, v in ent.items()}
+
+
+def merge_shard_entries(shards: list[dict]) -> dict:
+    """Merge per-shard sorted entry tables back into one global order
+    (mergeKmerFilesAndOutput analogue).  The hash ranges are disjoint but
+    not contiguous in k-mer space, so a full merge by the global key is
+    required; the merged multiset equals the single-shard table, making
+    the downstream group/scan output bit-identical."""
+    cat = {k: np.concatenate([s[k] for s in shards]) for k in shards[0]}
+    order = np.lexsort((cat["pos"], cat["id"],
+                        -cat["seq_len"].astype(np.int64),
+                        cat["kmer"] | BIT63))
+    return {k: v[order] for k, v in cat.items()}
+
+
+def kmermatcher_sharded(seqdb: SeqDB, k: int, kmers_per_sequence: int,
+                        kmers_per_sequence_scale: float,
+                        include_only_extendable: bool, hash_shift: int = 67,
+                        n_shards: int = 4, cov_mode: int = 0,
+                        cov_thr: float = 0.0):
+    """Hash-range-sharded kmermatcher: per-shard extraction + sort, one
+    merge, one group/scan.  Bit-identical to the unsharded stage."""
+    shards = [extract_shard_entries(seqdb, k, kmers_per_sequence,
+                                    kmers_per_sequence_scale, hash_shift,
+                                    s, n_shards)
+              for s in range(n_shards)]
+    ent = merge_shard_entries(shards)
+    centre_id, centre_fwd, member_id, diagonal, _ = assign_groups(
+        ent["kmer"], ent["id"], ent["pos"], ent["seq_len"],
+        include_only_extendable, cov_mode, cov_thr)
+    return build_pref_db(seqdb, centre_id, centre_fwd, member_id, diagonal)
+
+
+# ---------------------------------------------------------------- processes
+def initialize(coordinator: str, num_processes: int, process_id: int,
+               local_device_count: int | None = None) -> None:
+    """jax.distributed process-group init (the MMseqsMPI::init analogue).
+
+    On CPU test rigs pass local_device_count to give each process its own
+    virtual devices; on real TPU pods jax discovers topology itself."""
+    import jax
+
+    if local_device_count is not None:
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count="
+            f"{local_device_count}").strip()
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def process_kmermatcher(seqdb: SeqDB, params_tuple, shard_dir: str,
+                        process_id: int, num_processes: int,
+                        n_shards: int, barrier=None):
+    """Per-process kmermatcher step: compute this process's shards, spill
+    to the shared filesystem, and on process 0 merge + group/scan.
+
+    Returns the PrefDB on process 0, None elsewhere.  `barrier` is any
+    callable that blocks until all processes reach it (on a jax.distributed
+    process group use `parallel.distributed.psum_barrier`)."""
+    k, kps, scale, ioe, hash_shift = params_tuple
+    os.makedirs(shard_dir, exist_ok=True)
+    for s in shards_for_process(n_shards, process_id, num_processes):
+        ent = extract_shard_entries(seqdb, k, kps, scale, hash_shift,
+                                    s, n_shards)
+        tmp = os.path.join(shard_dir, f"split_{s}.pkl.tmp")
+        with open(tmp, "wb") as fh:
+            pickle.dump(ent, fh)
+        os.replace(tmp, os.path.join(shard_dir, f"split_{s}.pkl"))
+    if barrier is not None:
+        barrier()
+    if process_id != 0:
+        return None
+    shards = []
+    for s in range(n_shards):
+        with open(os.path.join(shard_dir, f"split_{s}.pkl"), "rb") as fh:
+            shards.append(pickle.load(fh))
+    ent = merge_shard_entries(shards)
+    centre_id, centre_fwd, member_id, diagonal, _ = assign_groups(
+        ent["kmer"], ent["id"], ent["pos"], ent["seq_len"], ioe)
+    return build_pref_db(seqdb, centre_id, centre_fwd, member_id, diagonal)
+
+
+def psum_barrier() -> None:
+    """Cross-process barrier via one global psum over the process group."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("carpedeam_barrier")

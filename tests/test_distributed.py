@@ -1,0 +1,88 @@
+"""Multi-host distribution contract: the sharded kmermatcher (per-range
+extraction + spill + merge + single group/scan, the reference's MPI
+design) must be bit-identical to the single-node stage, both in-process
+and across real jax.distributed process groups."""
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from carpedeam_tpu.kmer.matcher import kmermatcher
+from carpedeam_tpu.parallel.distributed import (kmermatcher_sharded,
+                                                shards_for_process)
+
+
+def _pref_equal(a, b):
+    return (np.array_equal(a.qkey, b.qkey) and np.array_equal(a.tkey, b.tkey)
+            and np.array_equal(a.score, b.score)
+            and np.array_equal(a.diag, b.diag)
+            and np.array_equal(a.starts, b.starts)
+            and np.array_equal(a.qkeys, b.qkeys))
+
+
+def test_sharded_kmermatcher_bit_identical(example_reads):
+    db = example_reads.select(np.arange(0, len(example_reads), 20))
+    single = kmermatcher(db, 20, 200, 0.2, False)
+    for n_shards in (2, 5):
+        sharded = kmermatcher_sharded(db, 20, 200, 0.2, False,
+                                      n_shards=n_shards)
+        assert _pref_equal(single, sharded), n_shards
+
+
+def test_round_robin_shard_assignment():
+    assert shards_for_process(5, 0, 2) == [0, 2, 4]
+    assert shards_for_process(5, 1, 2) == [1, 3]
+    all_shards = sorted(shards_for_process(7, 0, 3)
+                        + shards_for_process(7, 1, 3)
+                        + shards_for_process(7, 2, 3))
+    assert all_shards == list(range(7))
+
+
+_WORKER = r"""
+import os, sys, pickle
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from carpedeam_tpu.io import SeqDB
+from carpedeam_tpu.parallel import distributed as D
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+shard_dir = sys.argv[4]
+D.initialize("localhost:" + port, nproc, pid, local_device_count=2)
+db = SeqDB.load(os.path.join(shard_dir, "reads"))
+pref = D.process_kmermatcher(db, (20, 200, 0.2, False, 67), shard_dir,
+                             pid, nproc, n_shards=4,
+                             barrier=D.psum_barrier)
+if pid == 0:
+    pref.save(os.path.join(shard_dir, "pref_dist"))
+print("proc", pid, "done")
+"""
+
+
+@pytest.mark.skipif(os.environ.get("CARPEDEAM_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+def test_two_process_jax_distributed(example_reads, tmp_path):
+    """Two real OS processes in a jax.distributed group split the hash
+    ranges, spill shards, barrier, and process 0's merged result equals
+    the single-node stage."""
+    from carpedeam_tpu.aligndb import PrefDB
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    db = example_reads.select(np.arange(0, len(example_reads), 40))
+    db.save(str(tmp_path / "reads"))
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER.format(repo=repo))
+    port = "29817"
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), "2", port, str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        for pid in range(2)]
+    outs = [p.communicate(timeout=240)[0].decode() for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    dist = PrefDB.load(str(tmp_path / "pref_dist"))
+    single = kmermatcher(db, 20, 200, 0.2, False)
+    assert _pref_equal(single, dist), outs
