@@ -71,6 +71,11 @@ def main(argv=None) -> int:
         sp.add_argument("files", nargs=3, help="SEQ_DB ALN_DB OUT_SEQ_DB")
         add_flags(sp)
 
+    sp = sub.add_parser("guidedassembleresult")
+    sp.add_argument("files", nargs=5,
+                    help="NUCL_DB AA_DB ALN_DB OUT_NUCL_DB OUT_AA_DB")
+    add_flags(sp)
+
     sp = sub.add_parser("createhdb")
     sp.add_argument("files", nargs=2, help="SEQ_DB OUT_DB")
     sp.add_argument("--cycle-keys", default="",
@@ -182,6 +187,21 @@ def main(argv=None) -> int:
                                   p.ancient_unsafe, p.min_cov_safe)
         out_db.save(args.files[2])
         print(f"[carpedeam-tpu] {len(out_db)} records -> {args.files[2]}")
+        return 0
+
+    if args.command == "guidedassembleresult":
+        from .aligndb import AlnDB
+        from .stages.guided_assembly import guided_assembly
+        p = params_from_args(args)
+        nucl = SeqDB.load(args.files[0])
+        aa = SeqDB.load(args.files[1])
+        aln = AlnDB.load(args.files[2])
+        out_n, out_a = guided_assembly(nucl, aa, aln, p.seq_id_thr,
+                                       p.max_seq_len)
+        out_n.save(args.files[3])
+        out_a.save(args.files[4])
+        print(f"[carpedeam-tpu] {int(out_n.ext.sum())} extended -> "
+              f"{args.files[3]}")
         return 0
 
     if args.command == "createhdb":
