@@ -1,0 +1,204 @@
+"""Batched initial-pass scoring for read-phase extension (safe mode).
+
+doNuclAssembly1's per-query passes A-C, consensus seqId update and
+damage-likelihood scoring (ancientReadsResults.cpp:179-366) touch every
+alignment record independently — a dense batched computation.  This
+module evaluates them for ALL records of the alignment DB in chunked
+(records x Lmax) window operations, so stages/read_assembly.py only runs
+the greedy splicing rounds per query.
+
+Safe-mode only: the consensus equals the query in the middle third of
+the 3L buffer, which turns the consensus lookups into affine window
+gathers (right pad: consensus position 2L - alnLen + i; left pad:
+L - offset + i).  Unsafe mode keeps the per-candidate path.
+
+Float semantics mirror the per-candidate oracle: integer window counts
+with IEEE f32 divisions, f64 likelihood sums (row-masked; summation
+grouping can differ from the compact per-candidate np.sum at the last
+ulp — decision margins are far larger, validated bit-exact end-to-end).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import CHAR_TO_ACGT, CHAR_TO_RY
+from ..damage import seq_error_profile
+from .likelihood import likelihood_table
+
+CHUNK = 8192
+
+
+def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
+                          ry_seq_id_thr: float, likelihood_thr: float,
+                          rand_aln_penal: float, excess_penal: float) -> dict:
+    """Returns per-record arrays (length == len(aln.qkey)):
+
+      cand      pass A-C candidate mask
+      seq_id, ry_seq_id   consensus-updated identities (f32-exact)
+      queue_ok  entered the priority queue (incl. sRatio > threshold)
+      s_len_norm, s_ratio  likelihood scores (f64)
+    plus per-query max_left / max_right (length == len(seqdb))."""
+    key2id = seqdb.key_to_id()
+    n_rec = len(aln.qkey)
+    n_seq = len(seqdb)
+    qid = np.array([key2id[int(k)] for k in aln.qkey], dtype=np.int64)
+    tid = np.array([key2id[int(k)] for k in aln.cols["tkey"]], dtype=np.int64)
+    qs = aln.cols["qstart"].astype(np.int64)
+    qe = aln.cols["qend"].astype(np.int64)
+    ts = aln.cols["dbstart"].astype(np.int64)
+    te = aln.cols["dbend"].astype(np.int64)
+    tlen = seqdb.lengths[tid]
+    qlen = seqdb.lengths[qid]
+    alen = aln.aln_len.astype(np.int64)
+
+    # ---- pass A: raw terminal test (reverse hits have qs > qe and fail) --
+    right_raw = (ts == 0) & (qe == qlen - 1)
+    left_raw = (qs == 0) & (te == tlen - 1)
+    terminal = (right_raw | left_raw) & (qs <= qe)
+    not_identity = tid != aln.qkey.astype(np.int64)  # id==key quirk (dense)
+
+    max_len = int(seqdb.lengths.max()) if n_seq else 1
+    data = seqdb.data
+    offsets = seqdb.offsets
+    ry_flat = CHAR_TO_RY[data]
+    acgt_flat = CHAR_TO_ACGT[data]
+    not_n_flat = data != ord("N")
+
+    logm = likelihood_table(damage.fwd, seq_error_profile(0.001))
+    log_excess = np.log(excess_penal)
+    log_rand = np.log(rand_aln_penal)
+
+    seq_id = np.zeros(n_rec, dtype=np.float64)
+    ry_seq_id = np.zeros(n_rec, dtype=np.float64)
+    cand = np.zeros(n_rec, dtype=bool)
+    side_total = np.zeros(n_rec, dtype=np.int64)
+    side_is_left = np.zeros(n_rec, dtype=bool)
+    side_valid = np.zeros(n_rec, dtype=bool)
+    lik_mod = np.zeros(n_rec, dtype=np.float64)
+    aln_count = np.zeros(n_rec, dtype=np.int64)
+    lik_valid = np.zeros(n_rec, dtype=bool)
+
+    pos = np.arange(max_len, dtype=np.int64)[None, :]
+    for c0 in range(0, n_rec, CHUNK):
+        sl = slice(c0, min(c0 + CHUNK, n_rec))
+        m = terminal[sl] & not_identity[sl]
+        if not m.any():
+            continue
+        r = np.nonzero(m)[0] + c0
+        qsr, qer, tsr = qs[r], qe[r], ts[r]
+        alr, tlr, qlr = alen[r], tlen[r], qlen[r]
+        qoff, toff = offsets[qid[r]], offsets[tid[r]]
+        win = qer - qsr + 1
+
+        # pass B: seqId / rySeqId over the [qs, qe] query window
+        q_idx = np.clip(qoff[:, None] + qsr[:, None] + pos, 0, len(data) - 1)
+        t_idx = np.clip(toff[:, None] + tsr[:, None] + pos, 0, len(data) - 1)
+        in_win = pos < win[:, None]
+        qb = data[q_idx]
+        tb = data[t_idx]
+        idc = ((qb == tb) & in_win).sum(axis=1)
+        ryc = ((ry_flat[q_idx] == ry_flat[t_idx]) & in_win).sum(axis=1)
+        sid_b = (idc.astype(np.float32)
+                 / alr.astype(np.float32)).astype(np.float64)
+        ry_b = (ryc.astype(np.float32)
+                / alr.astype(np.float32)).astype(np.float64)
+
+        # pass C
+        no_offset = (tlr - alr) == 0
+        ok = (~seqdb.ext[tid[r]]) & (alr >= 30) \
+            & (sid_b.astype(np.float32) >= np.float32(seq_id_thr)) \
+            & (~no_offset)
+        cand[r] = ok
+        seq_id[r] = sid_b
+        ry_seq_id[r] = ry_b
+
+        rc = r[ok]
+        if not len(rc):
+            continue
+        qsr, qer, tsr, ter = qs[rc], qe[rc], ts[rc], te[rc]
+        alr, tlr, qlr = alen[rc], tlen[rc], qlen[rc]
+        qoff, toff = offsets[qid[rc]], offsets[tid[rc]]
+
+        # consensus seqId update (safe mode): affine query-window mapping
+        right_c = (tsr == 0) & (qer == qlr - 1)
+        left_c = (qsr == 0) & (ter == tlr - 1)
+        offs = tlr - alr
+        cs_ok = (qlr - offs) >= 0
+        valid = (right_c | left_c) & cs_ok
+        # query position of padded-target index i
+        qpos0 = np.where(left_c, -offs, qlr - alr)
+        i_grid = pos
+        t_in = i_grid < tlr[:, None]
+        qp = qpos0[:, None] + i_grid
+        q_in = (qp >= 0) & (qp < qlr[:, None])
+        # in_range check on cons_pos in [0, 3L): left pad start L-offs>=...
+        cons_pos = np.where(left_c[:, None], qlr[:, None] - offs[:, None],
+                            2 * qlr[:, None] - alr[:, None]) + i_grid
+        in_rng = (cons_pos >= 0) & (cons_pos < 3 * qlr[:, None])
+        tg_idx = np.clip(toff[:, None] + i_grid, 0, len(data) - 1)
+        qg_idx = np.clip(qoff[:, None] + qp, 0, len(data) - 1)
+        t_not_n = not_n_flat[tg_idx] & t_in
+        use = t_not_n & q_in & in_rng & (not_n_flat[qg_idx])
+        total = use.sum(axis=1)
+        idc2 = ((data[qg_idx] == data[tg_idx]) & use).sum(axis=1)
+        ryc2 = ((ry_flat[qg_idx] == ry_flat[tg_idx]) & use).sum(axis=1)
+        has = total > 0
+        sid_c = np.where(has, (idc2.astype(np.float32)
+                               / np.maximum(total, 1).astype(np.float32))
+                         .astype(np.float64), seq_id[rc])
+        ry_c = np.where(has, (ryc2.astype(np.float32)
+                              / np.maximum(total, 1).astype(np.float32))
+                        .astype(np.float64), ry_seq_id[rc])
+        seq_id[rc] = np.where(valid, sid_c, seq_id[rc])
+        ry_seq_id[rc] = np.where(valid, ry_c, ry_seq_id[rc])
+        side_total[rc] = np.where(valid, total, 0)
+        side_is_left[rc] = left_c
+        side_valid[rc] = valid
+
+        # likelihood columns (t_rank layers over non-N target chars)
+        t_nn = not_n_flat[tg_idx] & t_in
+        t_rank = np.cumsum(t_nn, axis=1) - 1
+        lay = np.where(t_rank < 5, np.maximum(t_rank, 0), 5)
+        from_end = t_rank - (tlr[:, None] - 5)
+        lay = np.where(from_end >= 0, 6 + from_end, lay)
+        lay = np.clip(lay, 0, 10)
+        use_l = t_nn & q_in & in_rng & not_n_flat[qg_idx]
+        qb4 = acgt_flat[qg_idx].astype(np.int64)
+        tb4 = acgt_flat[tg_idx].astype(np.int64)
+        vals = logm[lay, qb4, tb4]
+        lm = np.where(use_l, vals, 0.0).sum(axis=1)
+        ac = use_l.sum(axis=1)
+        ok_l = valid  # same guard as _seq_id (left/right + cs_ok)
+        lik_mod[rc] = np.where(ok_l, lm, 0.0)
+        aln_count[rc] = np.where(ok_l, ac, 0)
+        lik_valid[rc] = True
+
+    # per-query max left/right consensus-overlap totals
+    max_left = np.zeros(n_seq, dtype=np.int64)
+    max_right = np.zeros(n_seq, dtype=np.int64)
+    cc = np.nonzero(cand & side_valid)[0]
+    lmask = side_is_left[cc]
+    np.maximum.at(max_left, qid[cc[lmask]], side_total[cc[lmask]])
+    np.maximum.at(max_right, qid[cc[~lmask]], side_total[cc[~lmask]])
+
+    # queue fill: filters + sRatio threshold
+    not_inside = tlen != alen
+    right_q = ts == 0
+    left_q = qs == 0
+    queue_pre = cand & (right_q | left_q) & not_inside & not_identity \
+        & (ry_seq_id.astype(np.float32) >= np.float32(ry_seq_id_thr)) \
+        & (seq_id.astype(np.float32) >= np.float32(seq_id_thr))
+    # max_aln per record: left if (qstart==0 && tend==tlen-1) else right
+    is_left_like = (qs == 0) & (te == tlen - 1)
+    max_aln = np.where(is_left_like, max_left[qid], max_right[qid])
+    excess = max_aln - aln_count
+    s_len_norm = lik_mod + excess * log_excess
+    rand_aln = max_aln * log_rand
+    with np.errstate(over="ignore"):
+        s_ratio = 1.0 / (1.0 + np.exp(rand_aln - s_len_norm))
+    queue_ok = queue_pre & (s_ratio > likelihood_thr)
+
+    return {"cand": cand, "seq_id": seq_id, "ry_seq_id": ry_seq_id,
+            "queue_ok": queue_ok, "s_len_norm": s_len_norm,
+            "s_ratio": s_ratio, "max_left": max_left,
+            "max_right": max_right}

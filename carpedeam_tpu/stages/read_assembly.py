@@ -120,6 +120,16 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
     aln_by_key = {int(k): i for i, k in enumerate(aln.qkeys)}
     aln_len_all = aln.aln_len
 
+    # safe mode: passes A-C + consensus seqId + likelihood batched over
+    # every record at once (ops/extension_batch); the loop below then only
+    # materialises candidates and runs the greedy splicing rounds
+    pre = None
+    if not unsafe:
+        from ..ops.extension_batch import batch_initial_scoring
+        pre = batch_initial_scoring(seqdb, aln, damage, seq_id_thr,
+                                    ry_seq_id_thr, likelihood_thr,
+                                    rand_aln_penal, excess_penal)
+
     out_seqs: list[bytes] = []
     out_ext: list[bool] = []
 
@@ -131,82 +141,119 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
         qi = aln_by_key.get(qkey)
         sl = aln.records_for(qi) if qi is not None else slice(0, 0)
 
-        # ---- pass A-C: forward terminal overlaps -> candidates ----------
-        cands: list[_Cand] = []
-        for r in range(sl.start, sl.stop):
-            qs = int(aln.cols["qstart"][r]); qe = int(aln.cols["qend"][r])
-            ts = int(aln.cols["dbstart"][r]); te = int(aln.cols["dbend"][r])
-            tl = int(aln.cols["dblen"][r])
-            a = int(aln_len_all[r])
-            right_start = ts == 0 and qe == L - 1
-            left_start = qs == 0 and te == tl - 1
-            if not (right_start or left_start):
-                continue  # raw-coordinate test: drops all reverse hits
-            tkey = int(aln.cols["tkey"][r])
-            tid = key2id[tkey]
-            if tid == qkey:
-                # identity (id == key in dense DBs)
+        if pre is not None:
+            # ---- batched fast path: candidates + scores precomputed ----
+            cands = []
+            queue = CppPriorityQueue(lambda a_, b_: a_.s_len_norm
+                                     < b_.s_len_norm)
+            tgt_bytes = {}
+            for r in range(sl.start, sl.stop):
+                if not pre["cand"][r]:
+                    continue
+                c = _Cand(int(aln.cols["tkey"][r]),
+                          int(aln.cols["qstart"][r]),
+                          int(aln.cols["qend"][r]), L,
+                          int(aln.cols["dbstart"][r]),
+                          int(aln.cols["dbend"][r]),
+                          int(aln.cols["dblen"][r]), int(aln_len_all[r]))
+                c.seq_id = float(pre["seq_id"][r])
+                c.ry_seq_id = float(pre["ry_seq_id"][r])
+                cands.append(c)
+                tgt_bytes[c.tkey] = np.array(
+                    seqdb.seq_bytes(key2id[c.tkey]), dtype=np.uint8)
+                if pre["queue_ok"][r]:
+                    c.s_len_norm = float(pre["s_len_norm"][r])
+                    c.s_ratio = float(pre["s_ratio"][r])
+                    queue.push(c)
+            if not cands:
+                out_seqs.append(qseq.tobytes())
+                out_ext.append(bool(seqdb.ext[i]))
                 continue
-            c = _Cand(tkey, qs, qe, L, ts, te, tl, a)
-            # pass B: seqId / rySeqId vs corrected sequences
-            tb = seqdb.seq_bytes(tid)
-            qw = qseq[qs:qe + 1]
-            tw = tb[ts:ts + (qe - qs + 1)]
-            c.seq_id = float(np.float32((qw == tw).sum()) / np.float32(a))
-            c.ry_seq_id = float(np.float32(
-                (CHAR_TO_RY[qw] == CHAR_TO_RY[tw]).sum()) / np.float32(a))
-            # pass C: notContig filter
-            no_offset = (tl - a) == 0
-            if seqdb.ext[tid] or a < 30 or c.seq_id < np.float32(seq_id_thr) \
-                    or no_offset:
+            query = qseq.copy()
+            qlen_cur = L
+            max_left = int(pre["max_left"][i])
+            max_right = int(pre["max_right"][i])
+            consensus = consensus_caller(cands,
+                                         lambda c_: tgt_bytes[c_.tkey],
+                                         query, qlen_cur, False,
+                                         min_cov_safe)
+        else:
+            # ---- pass A-C: forward terminal overlaps -> candidates ------
+            cands = []
+            for r in range(sl.start, sl.stop):
+                qs = int(aln.cols["qstart"][r]); qe = int(aln.cols["qend"][r])
+                ts = int(aln.cols["dbstart"][r]); te = int(aln.cols["dbend"][r])
+                tl = int(aln.cols["dblen"][r])
+                a = int(aln_len_all[r])
+                right_start = ts == 0 and qe == L - 1
+                left_start = qs == 0 and te == tl - 1
+                if not (right_start or left_start):
+                    continue  # raw-coordinate test: drops all reverse hits
+                tkey = int(aln.cols["tkey"][r])
+                tid = key2id[tkey]
+                if tid == qkey:
+                    # identity (id == key in dense DBs)
+                    continue
+                c = _Cand(tkey, qs, qe, L, ts, te, tl, a)
+                # pass B: seqId / rySeqId vs corrected sequences
+                tb = seqdb.seq_bytes(tid)
+                qw = qseq[qs:qe + 1]
+                tw = tb[ts:ts + (qe - qs + 1)]
+                c.seq_id = float(np.float32((qw == tw).sum()) / np.float32(a))
+                c.ry_seq_id = float(np.float32(
+                    (CHAR_TO_RY[qw] == CHAR_TO_RY[tw]).sum()) / np.float32(a))
+                # pass C: notContig filter
+                no_offset = (tl - a) == 0
+                if seqdb.ext[tid] or a < 30 or c.seq_id < np.float32(seq_id_thr) \
+                        or no_offset:
+                    continue
+                cands.append(c)
+
+            if not cands:
+                out_seqs.append(qseq.tobytes())
+                out_ext.append(bool(seqdb.ext[i]))
                 continue
-            cands.append(c)
 
-        if not cands:
-            out_seqs.append(qseq.tobytes())
-            out_ext.append(bool(seqdb.ext[i]))
-            continue
+            # ---- consensus + seqId update + likelihood ----------------------
+            query = qseq.copy()
+            qlen_cur = L
+            max_left = 0
+            max_right = 0
+            tgt_bytes = {}
+            for c in cands:
+                tgt_bytes[c.tkey] = np.array(seqdb.seq_bytes(key2id[c.tkey]),
+                                             dtype=np.uint8)
+            consensus = consensus_caller(cands, lambda c_: tgt_bytes[c_.tkey],
+                                         query, qlen_cur, unsafe, min_cov_safe)
+            for c in cands:
+                tb = tgt_bytes[c.tkey]
+                sid, ryid, total, side = _seq_id_vs_consensus(c, consensus,
+                                                              qlen_cur, tb)
+                c.seq_id, c.ry_seq_id = sid, ryid
+                if side == "L" and total > max_left:
+                    max_left = total
+                elif side == "R" and total > max_right:
+                    max_right = total
 
-        # ---- consensus + seqId update + likelihood ----------------------
-        query = qseq.copy()
-        qlen_cur = L
-        max_left = 0
-        max_right = 0
-        tgt_bytes = {}
-        for c in cands:
-            tgt_bytes[c.tkey] = np.array(seqdb.seq_bytes(key2id[c.tkey]),
-                                         dtype=np.uint8)
-        consensus = consensus_caller(cands, lambda c_: tgt_bytes[c_.tkey],
-                                     query, qlen_cur, unsafe, min_cov_safe)
-        for c in cands:
-            tb = tgt_bytes[c.tkey]
-            sid, ryid, total, side = _seq_id_vs_consensus(c, consensus,
-                                                          qlen_cur, tb)
-            c.seq_id, c.ry_seq_id = sid, ryid
-            if side == "L" and total > max_left:
-                max_left = total
-            elif side == "R" and total > max_right:
-                max_right = total
-
-        queue = CppPriorityQueue(lambda a_, b_: a_.s_len_norm < b_.s_len_norm)
-        for c in cands:
-            not_inside = c.tlen != c.aln_len
-            right_start = c.tstart == 0
-            left_start = c.qstart == 0
-            if not ((right_start or left_start) and not_inside
-                    and c.tkey != qkey
-                    and c.ry_seq_id >= np.float32(ry_seq_id_thr)
-                    and c.seq_id >= np.float32(seq_id_thr)):
-                continue
-            max_aln = max_left if (c.qstart == 0 and c.tend == c.tlen - 1) \
-                else max_right
-            logm = logm_rev if c.is_rev else logm_fwd
-            c.s_len_norm, c.s_ratio = calc_likelihood_consensus(
-                logm, consensus, qlen_cur, tgt_bytes[c.tkey],
-                c.qstart, c.qend, c.tstart, c.tend, c.aln_len, max_aln,
-                rand_aln_penal, excess_penal)
-            if c.s_ratio > likelihood_thr:
-                queue.push(c)
+            queue = CppPriorityQueue(lambda a_, b_: a_.s_len_norm < b_.s_len_norm)
+            for c in cands:
+                not_inside = c.tlen != c.aln_len
+                right_start = c.tstart == 0
+                left_start = c.qstart == 0
+                if not ((right_start or left_start) and not_inside
+                        and c.tkey != qkey
+                        and c.ry_seq_id >= np.float32(ry_seq_id_thr)
+                        and c.seq_id >= np.float32(seq_id_thr)):
+                    continue
+                max_aln = max_left if (c.qstart == 0 and c.tend == c.tlen - 1) \
+                    else max_right
+                logm = logm_rev if c.is_rev else logm_fwd
+                c.s_len_norm, c.s_ratio = calc_likelihood_consensus(
+                    logm, consensus, qlen_cur, tgt_bytes[c.tkey],
+                    c.qstart, c.qend, c.tstart, c.tend, c.aln_len, max_aln,
+                    rand_aln_penal, excess_penal)
+                if c.s_ratio > likelihood_thr:
+                    queue.push(c)
 
         # ---- greedy extension rounds ------------------------------------
         could_extend = False
