@@ -202,3 +202,197 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
             "queue_ok": queue_ok, "s_len_norm": s_len_norm,
             "s_ratio": s_ratio, "max_left": max_left,
             "max_right": max_right}
+
+
+def batch_contig_scoring(seqdb, aln, damage, merge_seq_id_thr: float,
+                         ry_seq_id_thr: float) -> dict:
+    """Batched initial pass of ancient_contig_merge (safe mode): strand
+    canonicalisation, pass-B identities, consensus update (consensus ==
+    query) and the damage-discounted `ancientMatchCount`, for every
+    alignment record at once.
+
+    Returns per-record arrays: cand, qs/qe/ts/te (canonical), is_rev,
+    seq_id, ry_seq_id, aln_len_cons, deam_match, queue_ok."""
+    key2id = seqdb.key_to_id()
+    n_rec = len(aln.qkey)
+    qid = np.array([key2id[int(k)] for k in aln.qkey], dtype=np.int64)
+    tid = np.array([key2id[int(k)] for k in aln.cols["tkey"]], dtype=np.int64)
+    qs0 = aln.cols["qstart"].astype(np.int64)
+    qe0 = aln.cols["qend"].astype(np.int64)
+    ts0 = aln.cols["dbstart"].astype(np.int64)
+    te0 = aln.cols["dbend"].astype(np.int64)
+    tlen = seqdb.lengths[tid]
+    qlen = seqdb.lengths[qid]
+    alen = aln.aln_len.astype(np.int64)
+    is_rev = qs0 > qe0
+    qs = np.where(is_rev, qe0, qs0)
+    qe = np.where(is_rev, qs0, qe0)
+    ts = np.where(is_rev, tlen - te0 - 1, ts0)
+    te = np.where(is_rev, tlen - ts0 - 1, te0)
+    not_identity = aln.cols["tkey"].astype(np.int64) \
+        != aln.qkey.astype(np.int64)
+
+    data = seqdb.data
+    offsets = seqdb.offsets
+    from ..constants import CHAR_REVCOMP
+    rc_flat = CHAR_REVCOMP[data]
+    ry_flat = CHAR_TO_RY[data]
+    ry_rc_flat = CHAR_TO_RY[rc_flat]
+    acgt_flat = CHAR_TO_ACGT[data]
+    acgt_rc_flat = CHAR_TO_ACGT[rc_flat]
+    not_n_flat = data != ord("N")
+    not_n_rc_flat = rc_flat != ord("N")
+    max_len = int(seqdb.lengths.max()) if len(seqdb) else 1
+    pos = np.arange(max_len, dtype=np.int64)[None, :]
+
+    seq_id = np.zeros(n_rec, dtype=np.float64)
+    ry_seq_id = np.zeros(n_rec, dtype=np.float64)
+    cand = np.zeros(n_rec, dtype=bool)
+    aln_len_cons = np.zeros(n_rec, dtype=np.int64)
+    deam_match = np.zeros(n_rec, dtype=np.float64)
+
+    lik5_f = damage.fwd[5]
+    lik5_r = damage.rev[5]
+
+    for c0 in range(0, n_rec, CHUNK):
+        r = np.arange(c0, min(c0 + CHUNK, n_rec))
+        qsr, qer, tsr, ter = qs[r], qe[r], ts[r], te[r]
+        alr, tlr, qlr = alen[r], tlen[r], qlen[r]
+        rev = is_rev[r]
+        qoff, toff = offsets[qid[r]], offsets[tid[r]]
+        win = qer - qsr + 1
+
+        # canonical target char at position p: fwd -> data[toff+p],
+        # rev -> revcomp(data)[toff + tlen-1-p]
+        def t_gather(flat, rc_version, p_idx):
+            fwd_idx = np.clip(toff[:, None] + p_idx, 0, len(data) - 1)
+            rev_idx = np.clip(toff[:, None] + tlr[:, None] - 1 - p_idx,
+                              0, len(data) - 1)
+            return np.where(rev[:, None], rc_version[rev_idx], flat[fwd_idx])
+
+        # pass B: seqId / ry over [qs, qe] vs t[ts...]
+        in_win = pos < win[:, None]
+        qg = np.clip(qoff[:, None] + qsr[:, None] + pos, 0, len(data) - 1)
+        tp = tsr[:, None] + pos
+        tch = t_gather(data, rc_flat, tp)
+        tr_ry = t_gather(ry_flat, ry_rc_flat, tp)
+        idc = ((data[qg] == tch) & in_win).sum(axis=1)
+        ryc = ((ry_flat[qg] == tr_ry) & in_win).sum(axis=1)
+        sid_b = (idc.astype(np.float32)
+                 / alr.astype(np.float32)).astype(np.float64)
+        ry_b = (ryc.astype(np.float32)
+                / alr.astype(np.float32)).astype(np.float64)
+        ok = (sid_b.astype(np.float32) >= np.float32(merge_seq_id_thr)) \
+            & (ry_b.astype(np.float32) >= np.float32(ry_seq_id_thr)) \
+            & not_identity[r]
+        cand[r] = ok
+        seq_id[r] = sid_b
+        ry_seq_id[r] = ry_b
+
+        rc_i = np.nonzero(ok)[0]
+        if not len(rc_i):
+            continue
+        rr = r[rc_i]
+        qsr, qer, tsr, ter = qs[rr], qe[rr], ts[rr], te[rr]
+        alr, tlr, qlr = alen[rr], tlen[rr], qlen[rr]
+        rev = is_rev[rr]
+        qoff, toff = offsets[qid[rr]], offsets[tid[rr]]
+
+        # consensus update (safe: consensus == query in middle third)
+        right_c = (tsr == 0) & (qer == qlr - 1)
+        left_c = (qsr == 0) & (ter == tlr - 1)
+        offs = tlr - alr
+        valid = (right_c | left_c) & ((qlr - offs) >= 0)
+        qpos0 = np.where(left_c, -offs, qlr - alr)
+        i_grid = pos
+        t_in = i_grid < tlr[:, None]
+        qp = qpos0[:, None] + i_grid
+        q_in = (qp >= 0) & (qp < qlr[:, None])
+        cons_pos = np.where(left_c[:, None], qlr[:, None] - offs[:, None],
+                            2 * qlr[:, None] - alr[:, None]) + i_grid
+        in_rng = (cons_pos >= 0) & (cons_pos < 3 * qlr[:, None])
+        qg2 = np.clip(qoff[:, None] + qp, 0, len(data) - 1)
+        t_not_n = t_gather(not_n_flat, not_n_rc_flat, i_grid) & t_in
+        tch2 = t_gather(data, rc_flat, i_grid)
+        use = t_not_n & q_in & in_rng & not_n_flat[qg2]
+        total = use.sum(axis=1)
+        idc2 = ((data[qg2] == tch2) & use).sum(axis=1)
+        ryc2 = ((ry_flat[qg2] == t_gather(ry_flat, ry_rc_flat, i_grid))
+                & use).sum(axis=1)
+        has = total > 0
+        seq_id[rr] = np.where(valid & has,
+                              (idc2.astype(np.float32)
+                               / np.maximum(total, 1).astype(np.float32))
+                              .astype(np.float64), seq_id[rr])
+        ry_seq_id[rr] = np.where(valid & has,
+                                 (ryc2.astype(np.float32)
+                                  / np.maximum(total, 1).astype(np.float32))
+                                 .astype(np.float64), ry_seq_id[rr])
+        aln_len_cons[rr] = np.where(valid, total, 0)
+
+        # ancientMatchCount (nuclassembleUtil.cpp:1050-1182)
+        mm_cons = ((np.float32(1.0) - seq_id[rr].astype(np.float32))
+                   * aln_len_cons[rr].astype(np.float32)
+                   + np.float32(0.5)).astype(np.int64)
+        m_cons = aln_len_cons[rr] - mm_cons
+        score_aln = m_cons * 2 - mm_cons * 3
+        score_aln = np.where(score_aln < 0, score_aln + (1 << 32), score_aln)
+        qb4 = acgt_flat[qg2].astype(np.int64)
+        tb4 = t_gather(acgt_flat, acgt_rc_flat, i_grid).astype(np.int64)
+        lik = np.where(rev[:, None], lik5_r[qb4, tb4], lik5_f[qb4, tb4])
+        ct = use & (qb4 == 1) & (tb4 == 3) & (lik > 0) & valid[:, None]
+        ga = use & (qb4 == 2) & (tb4 == 0) & (lik > 0) & valid[:, None]
+        # deamMatches per column, vectorised
+        log_adj = np.log(1.4e-9)
+
+        def log_power(length):
+            return log_adj - 3.0 * np.log(length)
+
+        log_min = log_power(10)
+        log_max = log_power(100000)
+        log_len = log_power(np.minimum(alr, 100000).astype(np.float64))
+        frac = (np.abs(log_len) - abs(log_max)) / (abs(log_min) - abs(log_max))
+        prior_aln = 1.0 - frac
+        # oracle scalar-promotion semantics (NEP50): the whole first term
+        # collapses to f32 (python-float weak scalars adopt the f32 dtype),
+        # and only the + 0.5*prior_aln promotes to f64
+        # NEP50 weak-scalar semantics make the entire _deam_matches chain
+        # float32 (python floats adopt f32 at each op); only the final
+        # m_ct/m_ga accumulation happens in the caller's f64
+        term = (score_aln.astype(np.float32)
+                + np.float32(3.0) * alr.astype(np.float32))
+        term = term / np.float32(5.0) + np.float32(0.9)
+        term = term / (alr + 1).astype(np.float32)
+        p_match = np.float32(0.5) * term \
+            + (0.5 * prior_aln).astype(np.float32)
+        lik_no = np.float32(1.0) - p_match
+        odds = (np.float32(1.0) - p_match) / p_match
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dm_cols = np.float32(1.0) / (
+                np.float32(1.0) + (lik_no[:, None]
+                                   / lik.astype(np.float32))
+                * odds[:, None])
+        # the oracle accumulates m_ct/m_ga and the final sum in f32
+        # (python-float + np.float32 adopts f32), so stay in f32 throughout
+        m_ct = np.where(ct, dm_cols, np.float32(0.0)).sum(axis=1,
+                                                          dtype=np.float32)
+        m_ga = np.where(ga, dm_cols, np.float32(0.0)).sum(axis=1,
+                                                          dtype=np.float32)
+        base = (score_aln.astype(np.float32)
+                + np.float32(3.0) * aln_len_cons[rr].astype(np.float32)) \
+            / np.float32(5.0)
+        deam_match[rr] = (base + m_ct + m_ga).astype(np.float64)
+
+    # queue fill thresholds
+    min_aln_len = np.where(alen < 500,
+                           np.minimum(500, (0.2 * tlen).astype(np.int64)),
+                           500)
+    queue_ok = cand \
+        & (seq_id.astype(np.float32) >= np.float32(merge_seq_id_thr)) \
+        & (ry_seq_id.astype(np.float32) >= np.float32(ry_seq_id_thr)) \
+        & (alen >= min_aln_len)
+
+    return {"cand": cand, "qs": qs, "qe": qe, "ts": ts, "te": te,
+            "is_rev": is_rev, "seq_id": seq_id, "ry_seq_id": ry_seq_id,
+            "aln_len_cons": aln_len_cons, "deam_match": deam_match,
+            "queue_ok": queue_ok}

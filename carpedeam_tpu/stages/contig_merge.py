@@ -181,6 +181,14 @@ def contig_merge(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
     aln_by_key = {int(k): i for i, k in enumerate(aln.qkeys)}
     aln_len_all = aln.aln_len
 
+    # safe mode: canonicalisation, identities, consensus update and
+    # ancientMatchCount batched over all records (ops/extension_batch)
+    pre = None
+    if not unsafe:
+        from ..ops.extension_batch import batch_contig_scoring
+        pre = batch_contig_scoring(seqdb, aln, damage, merge_seq_id_thr,
+                                   ry_seq_id_thr)
+
     out_seqs: list[bytes] = []
     out_ext: list[bool] = []
 
@@ -191,61 +199,94 @@ def contig_merge(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
         qi = aln_by_key.get(qkey)
         sl = aln.records_for(qi) if qi is not None else slice(0, 0)
 
-        # ---- canonicalise + seqId/ry vs sequences -----------------------
-        cands: list[_Cand] = []
-        tgt_bytes = {}
-        for r in range(sl.start, sl.stop):
-            qs = int(aln.cols["qstart"][r]); qe = int(aln.cols["qend"][r])
-            ts = int(aln.cols["dbstart"][r]); te = int(aln.cols["dbend"][r])
-            tl = int(aln.cols["dblen"][r])
-            a = int(aln_len_all[r])
-            tkey = int(aln.cols["tkey"][r])
-            tid = key2id[tkey]
-            is_rev = qs > qe
-            if is_rev:
-                qs, qe = qe, qs
-                ts, te = tl - te - 1, tl - ts - 1
-            tb = np.array(seqdb.seq_bytes(tid), dtype=np.uint8)
-            if is_rev:
-                tb = CHAR_REVCOMP[tb][::-1]
-            c = _Cand(tkey, qs, qe, L, ts, te, tl, a, is_rev)
-            qw = qseq[qs:qe + 1]
-            tw = tb[ts:ts + (qe - qs + 1)]
-            c.seq_id = float(np.float32((qw == tw).sum()) / np.float32(a))
-            c.ry_seq_id = float(np.float32(
-                (CHAR_TO_RY[qw] == CHAR_TO_RY[tw]).sum()) / np.float32(a))
-            if c.seq_id >= np.float32(merge_seq_id_thr) \
-                    and c.ry_seq_id >= np.float32(ry_seq_id_thr) \
-                    and qkey != tkey:
+        if pre is not None:
+            # ---- batched fast path -------------------------------------
+            cands = []
+            tgt_bytes = {}
+            queue = CppPriorityQueue(_beta_less)
+            for r in range(sl.start, sl.stop):
+                if not pre["cand"][r]:
+                    continue
+                tkey = int(aln.cols["tkey"][r])
+                is_rev = bool(pre["is_rev"][r])
+                c = _Cand(tkey, int(pre["qs"][r]), int(pre["qe"][r]), L,
+                          int(pre["ts"][r]), int(pre["te"][r]),
+                          int(aln.cols["dblen"][r]), int(aln_len_all[r]),
+                          is_rev)
+                c.seq_id = float(pre["seq_id"][r])
+                c.ry_seq_id = float(pre["ry_seq_id"][r])
+                c.aln_len_cons = int(pre["aln_len_cons"][r])
+                tb = np.array(seqdb.seq_bytes(key2id[tkey]), dtype=np.uint8)
+                if is_rev:
+                    tb = CHAR_REVCOMP[tb][::-1]
                 cands.append(c)
                 tgt_bytes[(tkey, is_rev)] = tb
+                if pre["queue_ok"][r]:
+                    c.deam_match = float(pre["deam_match"][r])
+                    queue.push(c)
+            if not cands:
+                out_seqs.append(qseq.tobytes())
+                out_ext.append(bool(seqdb.ext[i]))
+                continue
+            query = qseq.copy()
+            qlen_cur = L
+        else:
+            # ---- canonicalise + seqId/ry vs sequences -------------------
+            cands = []
+            tgt_bytes = {}
+            for r in range(sl.start, sl.stop):
+                qs = int(aln.cols["qstart"][r]); qe = int(aln.cols["qend"][r])
+                ts = int(aln.cols["dbstart"][r]); te = int(aln.cols["dbend"][r])
+                tl = int(aln.cols["dblen"][r])
+                a = int(aln_len_all[r])
+                tkey = int(aln.cols["tkey"][r])
+                tid = key2id[tkey]
+                is_rev = qs > qe
+                if is_rev:
+                    qs, qe = qe, qs
+                    ts, te = tl - te - 1, tl - ts - 1
+                tb = np.array(seqdb.seq_bytes(tid), dtype=np.uint8)
+                if is_rev:
+                    tb = CHAR_REVCOMP[tb][::-1]
+                c = _Cand(tkey, qs, qe, L, ts, te, tl, a, is_rev)
+                qw = qseq[qs:qe + 1]
+                tw = tb[ts:ts + (qe - qs + 1)]
+                c.seq_id = float(np.float32((qw == tw).sum()) / np.float32(a))
+                c.ry_seq_id = float(np.float32(
+                    (CHAR_TO_RY[qw] == CHAR_TO_RY[tw]).sum()) / np.float32(a))
+                if c.seq_id >= np.float32(merge_seq_id_thr) \
+                        and c.ry_seq_id >= np.float32(ry_seq_id_thr) \
+                        and qkey != tkey:
+                    cands.append(c)
+                    tgt_bytes[(tkey, is_rev)] = tb
 
-        if not cands:
-            out_seqs.append(qseq.tobytes())
-            out_ext.append(bool(seqdb.ext[i]))
-            continue
+            if not cands:
+                out_seqs.append(qseq.tobytes())
+                out_ext.append(bool(seqdb.ext[i]))
+                continue
 
-        query = qseq.copy()
-        qlen_cur = L
-        consensus = consensus_caller(
-            cands, lambda c_: tgt_bytes[(c_.tkey, c_.is_rev)], query,
-            qlen_cur, unsafe, min_cov_safe)
-        for c in cands:
-            _update_vs_consensus(c, consensus, qlen_cur,
-                                 tgt_bytes[(c.tkey, c.is_rev)])
+            query = qseq.copy()
+            qlen_cur = L
+            consensus = consensus_caller(
+                cands, lambda c_: tgt_bytes[(c_.tkey, c_.is_rev)], query,
+                qlen_cur, unsafe, min_cov_safe)
+            for c in cands:
+                _update_vs_consensus(c, consensus, qlen_cur,
+                                     tgt_bytes[(c.tkey, c.is_rev)])
 
-        queue = CppPriorityQueue(_beta_less)
-        for c in cands:
-            min_aln_len = 500
-            if c.aln_len < 500:
-                min_aln_len = min(500, int(0.2 * c.tlen))
-            if c.seq_id >= np.float32(merge_seq_id_thr) \
-                    and c.ry_seq_id >= np.float32(ry_seq_id_thr) \
-                    and c.aln_len >= min_aln_len:
-                deam = damage.rev if c.is_rev else damage.fwd
-                c.deam_match = _ancient_match_count(
-                    c, consensus, qlen_cur, tgt_bytes[(c.tkey, c.is_rev)], deam)
-                queue.push(c)
+            queue = CppPriorityQueue(_beta_less)
+            for c in cands:
+                min_aln_len = 500
+                if c.aln_len < 500:
+                    min_aln_len = min(500, int(0.2 * c.tlen))
+                if c.seq_id >= np.float32(merge_seq_id_thr) \
+                        and c.ry_seq_id >= np.float32(ry_seq_id_thr) \
+                        and c.aln_len >= min_aln_len:
+                    deam = damage.rev if c.is_rev else damage.fwd
+                    c.deam_match = _ancient_match_count(
+                        c, consensus, qlen_cur,
+                        tgt_bytes[(c.tkey, c.is_rev)], deam)
+                    queue.push(c)
 
         could_extend = False
         broke_on_maxlen = False
