@@ -149,3 +149,60 @@ def psum_barrier() -> None:
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices("carpedeam_barrier")
+
+
+def decompose_by_residue_count(lengths: np.ndarray,
+                               num_processes: int) -> list[tuple[int, int]]:
+    """Util::decomposeDomainByAminoAcid analogue: split the query index
+    range into `num_processes` contiguous chunks of roughly equal total
+    residue count (rescorediagonal.cpp:400-422's domain decomposition)."""
+    total = int(lengths.sum())
+    target = total / max(num_processes, 1)
+    bounds = []
+    start = 0
+    acc = 0
+    for i, L in enumerate(lengths):
+        acc += int(L)
+        if acc >= target * (len(bounds) + 1) and len(bounds) < num_processes - 1:
+            bounds.append((start, i + 1))
+            start = i + 1
+    bounds.append((start, len(lengths)))
+    while len(bounds) < num_processes:
+        bounds.append((len(lengths), len(lengths)))
+    return bounds
+
+
+def rescorediagonal_range(seqdb: SeqDB, pref, seq_id_thr: float,
+                          q_range: tuple[int, int], eval_thr: float = 0.001,
+                          aln_len_thr: int = 0):
+    """Rescore only the prefilter records of queries [q_range) — one
+    process's share.  Per-query work is independent, so concatenating the
+    per-range results in range order is bit-identical to the full run
+    (the reference's rank-0 DBWriter::mergeResults contract)."""
+    from ..aligndb import PrefDB
+    from ..stages.rescorediagonal import rescorediagonal
+
+    lo, hi = q_range
+    s, e = int(pref.starts[lo]), int(pref.starts[hi])
+    sub = PrefDB(qkey=pref.qkey[s:e], tkey=pref.tkey[s:e],
+                 score=pref.score[s:e], diag=pref.diag[s:e],
+                 starts=pref.starts[lo:hi + 1] - pref.starts[lo],
+                 qkeys=pref.qkeys[lo:hi],
+                 qext=pref.qext[lo:hi] if pref.qext is not None else None)
+    return rescorediagonal(seqdb, sub, seq_id_thr, eval_thr, aln_len_thr)
+
+
+def merge_aln_ranges(parts: list):
+    """Concatenate per-range alignment DBs in range order."""
+    from ..aligndb import ALN_FIELDS, AlnDB
+
+    qkey = np.concatenate([p.qkey for p in parts])
+    cols = {name: np.concatenate([p.cols[name] for p in parts])
+            for name, _ in ALN_FIELDS}
+    starts = [np.zeros(1, dtype=np.int64)]
+    off = 0
+    for p in parts:
+        starts.append(p.starts[1:] + off)
+        off += int(p.starts[-1])
+    return AlnDB(qkey, cols, np.concatenate(starts),
+                 np.concatenate([p.qkeys for p in parts]))

@@ -59,13 +59,23 @@ class Checkpointer:
 
 
 def _pick_stage_impls(params: Params):
-    """Choose host-oracle or device-kernel implementations for the two
-    batched stages (both are bit-identical; the device path pays per-shape
-    compilation, amortised by shape bucketing)."""
+    """Choose host-oracle, device-kernel or mesh-sharded implementations
+    for the two batched stages (all bit-identical; accelerator paths pay
+    per-shape compilation, amortised by shape bucketing).
+
+    use_device: "0" host, "1" single device, "mesh" shard_map over all
+    local devices, "auto" = "1" on an accelerator backend else "0"."""
     use = params.use_device
     if use == "auto":
         from .utils import device_is_tpu
         use = "1" if device_is_tpu() else "0"
+    if use == "mesh":
+        import jax
+
+        from .parallel.mesh import (correction_sharded, make_mesh,
+                                    rescorediagonal_sharded)
+        mesh = make_mesh(len(jax.devices()))
+        return rescorediagonal_sharded(mesh), correction_sharded(mesh)
     if use == "1":
         from .ops.correction_tpu import correction_tpu
         from .ops.rescore_tpu import rescorediagonal_tpu
@@ -82,6 +92,8 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
     ck = Checkpointer(tmp_dir)
     log = progress or (lambda *_: None)
     rescore_fn, correction_fn = _pick_stage_impls(params)
+    from .utils import StageTimer
+    timer = StageTimer(log if params.verbosity >= 4 else None)
     cur = reads
     cycle_all: dict[int, bytes] = {}   # accumulated circular contigs
     cycle_ext: dict[int, bool] = {}
@@ -102,36 +114,47 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
             continue
 
         if read_phase:
-            pref = kmermatcher(cur, params.kmer_size_reads,
-                               params.kmers_per_sequence,
-                               params.kmers_per_sequence_scale,
-                               params.include_only_extendable_reads,
-                               params.hash_shift)
-            aln = rescore_fn(cur, pref, params.seq_id_thr,
-                             params.eval_thr, params.aln_len_thr)
-            corr = correction_fn(cur, aln, damage,
-                                 params.corr_reads_ry_seq_id,
-                                 params.seq_id_thr)
-            nxt = read_assembly(corr, aln, damage, params.seq_id_thr,
-                                params.ry_seq_id_thr,
-                                params.likelihood_threshold,
-                                params.random_align_penal,
-                                params.excess_penal, params.max_seq_len,
-                                params.ancient_unsafe, params.min_cov_safe)
+            with timer.time(f"kmermatcher_{step}"):
+                pref = kmermatcher(cur, params.kmer_size_reads,
+                                   params.kmers_per_sequence,
+                                   params.kmers_per_sequence_scale,
+                                   params.include_only_extendable_reads,
+                                   params.hash_shift)
+            with timer.time(f"rescorediagonal_{step}"):
+                aln = rescore_fn(cur, pref, params.seq_id_thr,
+                                 params.eval_thr, params.aln_len_thr)
+            with timer.time(f"correction_{step}"):
+                corr = correction_fn(cur, aln, damage,
+                                     params.corr_reads_ry_seq_id,
+                                     params.seq_id_thr)
+            with timer.time(f"read_assembly_{step}"):
+                nxt = read_assembly(corr, aln, damage, params.seq_id_thr,
+                                    params.ry_seq_id_thr,
+                                    params.likelihood_threshold,
+                                    params.random_align_penal,
+                                    params.excess_penal, params.max_seq_len,
+                                    params.ancient_unsafe,
+                                    params.min_cov_safe)
         else:
-            pref = kmermatcher(cur, params.kmer_size_contigs,
-                               params.kmers_per_sequence,
-                               params.kmers_per_sequence_scale,
-                               params.include_only_extendable_contigs,
-                               params.hash_shift)
-            aln = rescore_fn(cur, pref, params.corr_contig_seq_id,
-                             params.eval_thr, params.aln_len_thr)
-            corr = correction_fn(cur, aln, damage,
-                                 params.corr_reads_ry_seq_id,
-                                 params.corr_contig_seq_id)
-            nxt = contig_merge(corr, aln, damage, params.merge_seq_id_thr,
-                               params.ry_seq_id_thr, params.max_seq_len,
-                               params.ancient_unsafe, params.min_cov_safe)
+            with timer.time(f"kmermatcher_{step}"):
+                pref = kmermatcher(cur, params.kmer_size_contigs,
+                                   params.kmers_per_sequence,
+                                   params.kmers_per_sequence_scale,
+                                   params.include_only_extendable_contigs,
+                                   params.hash_shift)
+            with timer.time(f"rescorediagonal_{step}"):
+                aln = rescore_fn(cur, pref, params.corr_contig_seq_id,
+                                 params.eval_thr, params.aln_len_thr)
+            with timer.time(f"correction_{step}"):
+                corr = correction_fn(cur, aln, damage,
+                                     params.corr_reads_ry_seq_id,
+                                     params.corr_contig_seq_id)
+            with timer.time(f"contig_merge_{step}"):
+                nxt = contig_merge(corr, aln, damage,
+                                   params.merge_seq_id_thr,
+                                   params.ry_seq_id_thr, params.max_seq_len,
+                                   params.ancient_unsafe,
+                                   params.min_cov_safe)
 
         if ck.tmp:
             nxt.save(ck.path(name))

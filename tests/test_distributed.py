@@ -41,6 +41,25 @@ def test_round_robin_shard_assignment():
     assert all_shards == list(range(7))
 
 
+def test_rescorediagonal_range_decomposition(example_reads):
+    """Record-range decomposition + merge == full rescorediagonal run."""
+    from carpedeam_tpu.parallel.distributed import (
+        decompose_by_residue_count, merge_aln_ranges, rescorediagonal_range)
+    from carpedeam_tpu.stages.rescorediagonal import rescorediagonal
+
+    db = example_reads.select(np.arange(0, len(example_reads), 30))
+    pref = kmermatcher(db, 20, 200, 0.2, False)
+    full = rescorediagonal(db, pref, seq_id_thr=0.9)
+    # pref queries are in pref.qkeys order; decompose over their lengths
+    key2id = db.key_to_id()
+    qlens = db.lengths[[key2id[int(k)] for k in pref.qkeys]]
+    ranges = decompose_by_residue_count(qlens, 3)
+    parts = [rescorediagonal_range(db, pref, 0.9, rg) for rg in ranges
+             if rg[0] < rg[1]]
+    merged = merge_aln_ranges(parts)
+    assert merged.to_text() == full.to_text()
+
+
 _WORKER = r"""
 import os, sys, pickle
 sys.path.insert(0, {repo!r})

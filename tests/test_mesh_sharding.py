@@ -34,6 +34,22 @@ def test_sharded_correction_matches_oracle(example_reads, damage_model):
         assert bytes(ora.seq_bytes(i)) == bytes(dev.seq_bytes(i))
 
 
+def test_pipeline_mesh_mode_matches_host(example_reads, damage_model):
+    """use_device='mesh' (shard_map over the 8-device CPU mesh) must
+    byte-match the host pipeline over 2 assembly iterations."""
+    from carpedeam_tpu.params import Params
+    from carpedeam_tpu.pipeline import nuclassemble
+
+    db = example_reads.select(np.arange(0, len(example_reads), 30))
+    p = Params(num_iterations=2, num_iterations_reads=1, min_contig_len=0,
+               use_device="0")
+    r0, _, _ = nuclassemble(db, p, damage_model)
+    r1, _, _ = nuclassemble(db, p.copy(use_device="mesh"), damage_model)
+    assert len(r0) == len(r1)
+    for i in range(len(r0)):
+        assert bytes(r0.seq_bytes(i)) == bytes(r1.seq_bytes(i))
+
+
 def test_device_sort_matches_lexsort(example_reads):
     """jax.lax.sort path of the global k-mer table sort == host lexsort
     (key is unique per entry, so total order is deterministic)."""
