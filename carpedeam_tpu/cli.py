@@ -20,7 +20,9 @@ from .io.seqdb import SeqDB
 from .params import add_flags, apply_nuclassemble_defaults, params_from_args
 
 
-def _load_reads(paths: list[str]):
+def _load_reads(paths: list[str], db_mode: bool = False):
+    if db_mode:
+        return SeqDB.load(paths[0])
     if len(paths) == 1:
         return SeqDB.from_fastx(paths[0])
     # paired-end: FLASH merge (mergereads)
@@ -87,7 +89,7 @@ def main(argv=None) -> int:
         *reads_files, out_fasta, tmp_dir = args.files
         params = params_from_args(args)
         t0 = time.time()
-        reads = _load_reads(reads_files)
+        reads = _load_reads(reads_files, params.db_mode)
         print(f"[carpedeam-tpu] {len(reads)} reads "
               f"({reads.total_residues} residues) in {time.time()-t0:.1f}s")
         damage = DamageModel.load(params.ancient_damage_path)

@@ -91,14 +91,49 @@ def _select_kmers_for_seq(canon: np.ndarray, hashes: np.ndarray,
 def extract_selected_kmers_batched(seqdb: SeqDB, k: int,
                                    kmers_per_sequence: int,
                                    kmers_per_sequence_scale: float,
-                                   hash_shift: int, hash_range=None):
+                                   hash_shift: int, hash_range=None,
+                                   max_block_residues: int | None = None):
     """Vectorised whole-database k-mer extraction + native selection walk.
 
     Packs/canonicalises/hashes every window of every sequence in flat
     vector ops (sequence-boundary windows masked), sorts all entries with
     one lexsort keyed by sequence, and runs the sequential subsampling walk
     in the native batch kernel (carpedeam_tpu/native).  Semantically
-    identical to extract_selected_kmers (oracle-tested)."""
+    identical to extract_selected_kmers (oracle-tested).
+
+    `max_block_residues` bounds the working-set: the database is processed
+    in sequence blocks of at most that many residues (selection is
+    per-sequence, so blocking is exact) — the reference's
+    --split-memory-limit contract (kmermatcher.cpp:615-624) applied at
+    the extraction stage; sort-stage memory is bounded separately by the
+    hash-range splits."""
+    if max_block_residues is not None \
+            and int(seqdb.lengths.sum()) > max_block_residues and len(seqdb) > 1:
+        outs = []
+        start = 0
+        while start < len(seqdb):
+            end = start
+            acc = 0
+            while end < len(seqdb) and (acc == 0
+                                        or acc + int(seqdb.lengths[end])
+                                        <= max_block_residues):
+                acc += int(seqdb.lengths[end])
+                end += 1
+            block = SeqDB(
+                data=seqdb.data[seqdb.offsets[start]:
+                                seqdb.offsets[end - 1]
+                                + seqdb.lengths[end - 1]],
+                offsets=seqdb.offsets[start:end] - seqdb.offsets[start],
+                lengths=seqdb.lengths[start:end],
+                keys=seqdb.keys[start:end], ext=seqdb.ext[start:end])
+            ent = extract_selected_kmers_batched(
+                block, k, kmers_per_sequence, kmers_per_sequence_scale,
+                hash_shift, hash_range)
+            ent["id"] = ent["id"] + start
+            outs.append(ent)
+            start = end
+        return {key: np.concatenate([o[key] for o in outs])
+                for key in outs[0]}
     from ..kmer.xxh64 import util_hash_codes_batch
     from .. import native
 
@@ -375,13 +410,17 @@ def kmermatcher(seqdb: SeqDB, k: int, kmers_per_sequence: int,
                 kmers_per_sequence_scale: float,
                 include_only_extendable: bool,
                 hash_shift: int = 67, cov_mode: int = 0,
-                cov_thr: float = 0.0, device_sort: bool | None = None) -> PrefDB:
+                cov_thr: float = 0.0, device_sort: bool | None = None,
+                max_block_residues: int = 128 * 1024 * 1024) -> PrefDB:
     """Full single-shard kmermatcher stage -> prefilter hit table.
 
     `device_sort` routes the global k-mer sort through `jax.lax.sort` on
-    the accelerator (auto: when the default backend is not the host CPU)."""
+    the accelerator (auto: when the default backend is not the host CPU).
+    `max_block_residues` bounds extraction working-set memory (~50 bytes
+    per residue of temporary window state per block)."""
     ent = extract_selected_kmers_batched(seqdb, k, kmers_per_sequence,
-                                         kmers_per_sequence_scale, hash_shift)
+                                         kmers_per_sequence_scale, hash_shift,
+                                         max_block_residues=max_block_residues)
     # sort by (kmer|b63 asc, seqLen desc, id asc, pos asc)  (:409-415)
     if device_sort is None:
         from ..utils import device_is_tpu

@@ -25,7 +25,9 @@ from ..constants import CHAR_TO_ACGT, CHAR_TO_RY
 from ..damage import seq_error_profile
 from .likelihood import likelihood_table
 
-CHUNK = 8192
+def _chunk_for(max_len: int) -> int:
+    """Bound the (chunk, max_len) window working set to ~2^27 elements."""
+    return max(256, (1 << 27) // max(max_len, 1))
 
 
 def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
@@ -79,8 +81,9 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
     lik_valid = np.zeros(n_rec, dtype=bool)
 
     pos = np.arange(max_len, dtype=np.int64)[None, :]
-    for c0 in range(0, n_rec, CHUNK):
-        sl = slice(c0, min(c0 + CHUNK, n_rec))
+    chunk = _chunk_for(max_len)
+    for c0 in range(0, n_rec, chunk):
+        sl = slice(c0, min(c0 + chunk, n_rec))
         m = terminal[sl] & not_identity[sl]
         if not m.any():
             continue
@@ -254,8 +257,9 @@ def batch_contig_scoring(seqdb, aln, damage, merge_seq_id_thr: float,
     lik5_f = damage.fwd[5]
     lik5_r = damage.rev[5]
 
-    for c0 in range(0, n_rec, CHUNK):
-        r = np.arange(c0, min(c0 + CHUNK, n_rec))
+    chunk = _chunk_for(max_len)
+    for c0 in range(0, n_rec, chunk):
+        r = np.arange(c0, min(c0 + chunk, n_rec))
         qsr, qer, tsr, ter = qs[r], qe[r], ts[r], te[r]
         alr, tlr, qlr = alen[r], tlen[r], qlen[r]
         rev = is_rev[r]
