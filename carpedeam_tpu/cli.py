@@ -12,6 +12,7 @@ LocalParameters.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -88,6 +89,13 @@ def main(argv=None) -> int:
     if args.command in ("ancient_assemble", "nuclassemble"):
         *reads_files, out_fasta, tmp_dir = args.files
         params = params_from_args(args)
+        # structured tracing hook (the Timer/Debug::Progress analogue plus
+        # device-level visibility): CARPEDEAM_PROFILE_DIR=<dir> captures a
+        # JAX profiler trace of the whole workflow
+        prof_dir = os.environ.get("CARPEDEAM_PROFILE_DIR")
+        if prof_dir:
+            import jax
+            jax.profiler.start_trace(prof_dir)
         t0 = time.time()
         reads = _load_reads(reads_files, params.db_mode)
         print(f"[carpedeam-tpu] {len(reads)} reads "
@@ -100,6 +108,9 @@ def main(argv=None) -> int:
                                        f"[carpedeam-tpu] {m}"))
             print(f"[carpedeam-tpu] wrote {len(rep)} contigs -> {out_fasta} "
                   f"({time.time()-t0:.1f}s total)")
+            if prof_dir:
+                import jax
+                jax.profiler.stop_trace()
         else:
             from .pipeline import nuclassemble
             p = apply_nuclassemble_defaults(params)
