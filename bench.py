@@ -17,6 +17,12 @@ CPU) = ~1.8M residues/s.
 Steady-state = executables already compiled (shape-bucketed, so one
 compile serves every assembly iteration; compile time amortises away at
 production scale).
+
+Timing forces host materialisation of the step outputs each repetition:
+on tunnelled TPU backends `jax.block_until_ready` can return before the
+device work executes (dispatch-only timing), so every repetition pulls
+the final arrays to the host — the same boundary the real pipeline pays
+between device stages.
 """
 import json
 import os
@@ -41,6 +47,7 @@ def main():
     from carpedeam_tpu.kmer.matcher import kmermatcher
     from carpedeam_tpu.ops.correction_tpu import (correction_device,
                                                   prepare_correction_inputs)
+    from carpedeam_tpu.ops.rescore_pallas import rescore_pairs_pallas
     from carpedeam_tpu.ops.rescore_tpu import (pack_sequences,
                                                rescore_pairs_device)
     from carpedeam_tpu.stages.rescorediagonal import rescorediagonal
@@ -104,17 +111,22 @@ def main():
         obs, own_layer, was_ext, log_err, log_f, log_r,
         dm.fwd.astype(np.float32)))
 
+    interpret = jax.default_backend() == "cpu"
+
     def step():
-        out = rescore_pairs_device(*args_rescore, max_len=max_len)
+        out = rescore_pairs_pallas(*args_rescore, max_len=max_len,
+                                   interpret=interpret)
         corrected, tot = correction_device(*args_corr, max_len=max_len,
                                            total_len=pad_total)
-        return out, corrected, tot
+        # materialise on host: proves the device work actually ran and
+        # charges the same device->host boundary the pipeline pays
+        return np.asarray(out["score"]), np.asarray(corrected)
 
-    jax.block_until_ready(step())       # compile
+    step()                              # compile + drain queue
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(step())
+        step()
         times.append(time.perf_counter() - t0)
     dt = min(times)
     value = total_len / dt

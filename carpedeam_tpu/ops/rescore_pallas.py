@@ -1,0 +1,218 @@
+"""Pallas TPU kernel for ungapped end-to-end overlap rescoring.
+
+Same contract as ops/rescore_tpu.rescore_pairs_device (itself bit-exact vs
+the reference's DistanceCalculator::computeGlobalSubstitutionStartEndDistance,
+lib/mmseqs/src/alignment/DistanceCalculator.h:116 / rescorediagonal.cpp:146),
+but the per-pair diagonal window extraction is reformulated for the TPU
+VPU instead of XLA gathers:
+
+  * the four (P, Lmax) sequence planes for a pair block live in VMEM;
+  * for a candidate diagonal, exactly ONE side of the pair has a nonzero
+    window offset (qoff = 0 or dist, toff = dist or 0) — so the shifted
+    compare `q[qoff+j] == t[toff+j]` becomes a per-row LEFT-ROTATION of
+    one plane by `dist`, done as ceil(log2 L) static `pltpu.roll` steps
+    gated per row by the shift's bits (a vectorised barrel shifter).
+    No per-element gathers — those lower to scalar loops on TPU;
+  * match masks / score / coordinate arithmetic are elementwise VPU ops
+    and lane reductions, identical in integer semantics to the XLA kernel.
+
+The pair axis is tiled by the grid (PAIR_BLOCK pairs per program) with
+double-buffered HBM->VMEM pipelining handled by pallas_call itself.
+Row gathers from the (2N, L) stacked planes into per-pair (P, L) blocks
+stay outside the kernel (XLA row-gathers are already optimal for that).
+
+On non-TPU backends the kernel runs in interpreter mode (used by the
+CPU test suite for bit-parity checks against the NumPy oracle).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAIR_BLOCK = 256
+
+
+def _roll_rows_left(x, shift, n_bits: int, width: int):
+    """Rotate each row of x (B, L) left by shift (B, 1) in [0, width).
+
+    Barrel shifter: ceil(log2 width) static full-block rotations, each
+    applied per row iff the corresponding bit of the row's shift is set.
+    """
+    for k in range(n_bits):
+        step = 1 << k
+        if step >= width:
+            break
+        take = (shift & step) != 0
+        # static rotate-left(step); Mosaic lowers int8 dynamic_rotate
+        # poorly, so build the rotation from two static lane slices
+        rolled = jnp.concatenate([x[:, step:], x[:, :step]], axis=1)
+        x = jnp.where(take, rolled, x)
+    return x
+
+
+def _rescore_kernel(qc_ref, tc_ref, qs_ref, ts_ref, meta_ref,
+                    score_ref, qstart_ref, qend_ref, tstart_ref, tend_ref,
+                    alnlen_ref, idcnt_ref):
+    B, L = qc_ref.shape
+    n_bits = max(1, (L - 1).bit_length())
+    diag_u = meta_ref[:, 0:1]
+    qlen = meta_ref[:, 1:2]
+    tlen = meta_ref[:, 2:3]
+    # int8 planes are DMA'd to VMEM, then widened: this Mosaic version
+    # lacks i8 vector compare/rotate, and i32 VPU ops are native anyway
+    qc = qc_ref[:].astype(jnp.int32)
+    tc = tc_ref[:].astype(jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+
+    def count_and_score(qw, tw, min_len, valid):
+        match = (qw == tw) & (qw < 4) & (pos < min_len)
+        m = jnp.sum(match.astype(jnp.int32), axis=1, keepdims=True)
+        score = jnp.maximum(2 * m - 3 * (min_len - m), 0)
+        return jnp.where(valid, score, 0)
+
+    # negative-diagonal candidate: q starts at 0, t starts at dist
+    dist_neg = 65536 - diag_u
+    valid_neg = dist_neg < tlen
+    len_neg = jnp.where(valid_neg,
+                        jnp.minimum(tlen - dist_neg, qlen), 0)
+    t_rolled = _roll_rows_left(tc, jnp.where(valid_neg, dist_neg, 0),
+                               n_bits, L)
+    s_neg = count_and_score(qc, t_rolled, len_neg, valid_neg)
+
+    # positive-diagonal candidate: q starts at dist, t starts at 0
+    dist_pos = diag_u
+    valid_pos = dist_pos < qlen
+    len_pos = jnp.where(valid_pos,
+                        jnp.minimum(tlen, qlen - dist_pos), 0)
+    q_rolled = _roll_rows_left(qc, jnp.where(valid_pos, dist_pos, 0),
+                               n_bits, L)
+    s_pos = count_and_score(q_rolled, tc, len_pos, valid_pos)
+
+    use_pos = s_pos > s_neg
+    best_score = jnp.where(use_pos, s_pos, s_neg)
+    best_len = jnp.where(use_pos, len_pos, len_neg)
+    best_dist = jnp.where(use_pos, dist_pos, dist_neg)
+
+    got = best_score > 0
+    start = jnp.where(got, 0, -1)
+    end = jnp.where(got, best_len - 1, -1)
+    dist = jnp.where(got, best_dist, 0)
+    dneg = got & (~use_pos)          # the negative candidate is always < 0
+
+    qstart = jnp.where(dneg, start, start + dist)
+    qend = jnp.where(dneg, end, end + dist)
+    tstart = jnp.where(dneg, start + dist, start)
+    tend = jnp.where(dneg, end + dist, end)
+    aln_len = end - start + 1
+
+    # identity count over the winning window (symbol equality, clip(.,0)
+    # semantics of the XLA kernel: a -1 start only ever reads position 0
+    # because aln_len is 1 there)
+    sh_q = jnp.maximum(qstart, 0)
+    sh_t = jnp.maximum(tstart, 0)
+    qsym = qs_ref[:].astype(jnp.int32)
+    tsym = ts_ref[:].astype(jnp.int32)
+    a = jnp.where(sh_q > 0, qsym, tsym)
+    rolled = _roll_rows_left(a, sh_q + sh_t, n_bits, L)
+    qw = jnp.where(sh_q > 0, rolled, qsym)
+    tw = jnp.where(sh_q > 0, tsym, rolled)
+    id_cnt = jnp.sum(((qw == tw) & (pos < aln_len)).astype(jnp.int32),
+                     axis=1, keepdims=True)
+
+    score_ref[:] = best_score
+    qstart_ref[:] = qstart
+    qend_ref[:] = qend
+    tstart_ref[:] = tstart
+    tend_ref[:] = tend
+    alnlen_ref[:] = aln_len
+    idcnt_ref[:] = id_cnt
+
+
+@partial(jax.jit, static_argnames=("max_len", "interpret"))
+def rescore_pairs_pallas(code2, sym2, lengths, qidx, tidx, diag16, is_rev,
+                         max_len: int, interpret: bool = False):
+    """Pallas drop-in for ops.rescore_tpu.rescore_pairs_device.
+
+    Requires max_len % 128 == 0 (bucket_len guarantees this) and the pair
+    count to be a multiple of PAIR_BLOCK (bucket_pairs guarantees this).
+    """
+    n_pairs = qidx.shape[0]
+    assert n_pairs % PAIR_BLOCK == 0, n_pairs
+    assert max_len % 128 == 0, max_len
+    n_seqs = lengths.shape[0]
+    qlen = lengths[qidx].astype(jnp.int32)
+    tlen = lengths[tidx].astype(jnp.int32)
+    qrow = qidx + jnp.where(is_rev, n_seqs, 0).astype(qidx.dtype)
+    diag_u = diag16.astype(jnp.int32) & 0xFFFF
+
+    # XLA row gathers (embedding-style, fast); values all < 128 so int8
+    qc = code2[qrow].astype(jnp.int8)
+    tc = code2[tidx].astype(jnp.int8)
+    qs = sym2[qrow].astype(jnp.int8)
+    ts = sym2[tidx].astype(jnp.int8)
+    meta = jnp.concatenate(
+        [diag_u[:, None], qlen[:, None], tlen[:, None],
+         jnp.zeros((n_pairs, 5), jnp.int32)], axis=1)
+
+    B = PAIR_BLOCK
+    plane_spec = pl.BlockSpec((B, max_len), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((B, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    col_shape = jax.ShapeDtypeStruct((n_pairs, 1), jnp.int32)
+    outs = pl.pallas_call(
+        _rescore_kernel,
+        grid=(n_pairs // B,),
+        in_specs=[plane_spec, plane_spec, plane_spec, plane_spec,
+                  pl.BlockSpec((B, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[col_spec] * 7,
+        out_shape=[col_shape] * 7,
+        interpret=interpret,
+    )(qc, tc, qs, ts, meta)
+    score, qstart, qend, tstart, tend, aln_len, id_cnt = (
+        o[:, 0] for o in outs)
+    return {"score": score, "qstart": qstart, "qend": qend,
+            "tstart": tstart, "tend": tend, "aln_len": aln_len,
+            "id_cnt": id_cnt, "qlen": qlen, "tlen": tlen}
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def rescorediagonal_pallas(seqdb, pref, seq_id_thr, eval_thr=0.001,
+                           aln_len_thr=0, planes=None, lengths=None):
+    """Pallas drop-in for stages.rescorediagonal.rescorediagonal (same
+    host-side assembly/filter path as ops.rescore_tpu.rescorediagonal_tpu)."""
+    from ..stages.rescorediagonal import assemble_alndb
+    from ..utils import bucket_len, bucket_pairs
+    from .rescore_tpu import pack_sequences
+
+    if planes is None:
+        planes, lengths = pack_sequences(seqdb, max_len=bucket_len(
+            int(seqdb.lengths.max()) if len(seqdb) else 1))
+    key2id = seqdb.key_to_id()
+    n = len(pref.qkey)
+    np_pad = bucket_pairs(n)
+    qidx = np.zeros(np_pad, dtype=np.int32)
+    tidx = np.zeros(np_pad, dtype=np.int32)
+    diag = np.zeros(np_pad, dtype=np.int32)
+    is_rev = np.zeros(np_pad, dtype=bool)
+    qidx[:n] = [key2id[int(k)] for k in pref.qkey]
+    tidx[:n] = [key2id[int(k)] for k in pref.tkey]
+    diag[:n] = pref.diag
+    is_rev[:n] = pref.score < 0
+    out = rescore_pairs_pallas(planes["code"], planes["sym"],
+                               lengths.astype(np.int32), qidx, tidx,
+                               diag, is_rev,
+                               max_len=planes["code"].shape[1],
+                               interpret=_use_interpret())
+    raw = {k: np.asarray(v)[:n] for k, v in out.items()}
+    return assemble_alndb(seqdb, pref, raw, seq_id_thr, eval_thr,
+                          aln_len_thr)

@@ -63,12 +63,15 @@ def _pick_stage_impls(params: Params):
     for the two batched stages (all bit-identical; accelerator paths pay
     per-shape compilation, amortised by shape bucketing).
 
-    use_device: "0" host, "1" single device, "mesh" shard_map over all
-    local devices, "auto" = "1" on an accelerator backend else "0"."""
+    use_device: "0" host, "1" single device (XLA kernels), "pallas"
+    single device with the Pallas rescoring kernel (TPU-optimal: the
+    window extraction runs as vectorised lane rotations instead of XLA
+    gathers), "mesh" shard_map over all local devices, "auto" = "pallas"
+    on an accelerator backend else "0"."""
     use = params.use_device
     if use == "auto":
         from .utils import device_is_tpu
-        use = "1" if device_is_tpu() else "0"
+        use = "pallas" if device_is_tpu() else "0"
     if use == "mesh":
         import jax
 
@@ -76,6 +79,10 @@ def _pick_stage_impls(params: Params):
                                     rescorediagonal_sharded)
         mesh = make_mesh(len(jax.devices()))
         return rescorediagonal_sharded(mesh), correction_sharded(mesh)
+    if use == "pallas":
+        from .ops.correction_tpu import correction_tpu
+        from .ops.rescore_pallas import rescorediagonal_pallas
+        return rescorediagonal_pallas, correction_tpu
     if use == "1":
         from .ops.correction_tpu import correction_tpu
         from .ops.rescore_tpu import rescorediagonal_tpu

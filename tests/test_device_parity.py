@@ -73,3 +73,47 @@ def test_correction_device_exact_at_ry_threshold(damage_model):
     dev = correction_tpu(db, aln, damage_model, 0.99, 0.9)
     for i in range(len(db)):
         assert bytes(ora.seq_bytes(i)) == bytes(dev.seq_bytes(i))
+
+
+def test_rescore_pallas_matches_oracle(small_world):
+    """The Pallas kernel (interpret mode on CPU) must reproduce the host
+    oracle record-for-record, like the XLA kernel."""
+    from carpedeam_tpu.ops.rescore_pallas import rescorediagonal_pallas
+
+    db, pref, aln = small_world
+    dev = rescorediagonal_pallas(db, pref, seq_id_thr=0.9)
+    assert dev.to_text() == aln.to_text()
+
+
+def test_rescore_pallas_raw_outputs_match_xla_kernel(small_world):
+    """Raw per-pair kernel outputs (before host-side filtering) must be
+    identical between the Pallas and XLA formulations for every field,
+    including no-hit rows that the filters would drop."""
+    import numpy as np
+
+    from carpedeam_tpu.ops.rescore_pallas import rescore_pairs_pallas
+    from carpedeam_tpu.ops.rescore_tpu import (pack_sequences,
+                                               rescore_pairs_device)
+    from carpedeam_tpu.utils import bucket_len, bucket_pairs
+
+    db, pref, _ = small_world
+    planes, lengths = pack_sequences(db, max_len=bucket_len(
+        int(db.lengths.max())))
+    key2id = db.key_to_id()
+    n = len(pref.qkey)
+    pad = bucket_pairs(n)
+    qidx = np.zeros(pad, np.int32)
+    tidx = np.zeros(pad, np.int32)
+    diag = np.zeros(pad, np.int32)
+    is_rev = np.zeros(pad, bool)
+    qidx[:n] = [key2id[int(k)] for k in pref.qkey]
+    tidx[:n] = [key2id[int(k)] for k in pref.tkey]
+    diag[:n] = pref.diag
+    is_rev[:n] = pref.score < 0
+    args = (planes["code"], planes["sym"], lengths.astype(np.int32),
+            qidx, tidx, diag, is_rev)
+    max_len = planes["code"].shape[1]
+    a = rescore_pairs_device(*args, max_len=max_len)
+    b = rescore_pairs_pallas(*args, max_len=max_len, interpret=True)
+    for k in a:
+        assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
