@@ -1,10 +1,11 @@
-"""Benchmark: residues/s through the assembler's per-iteration device path.
+"""Benchmark: residues/s through the assembler's per-iteration hot path.
 
-Runs both hot batched stages on the bundled reference example workload —
-overlap rescoring of every k-mer candidate pair AND the whole-DB Bayesian
-correction (RY filters, coverage scatter, damage-likelihood argmax) — on
-the default JAX device (TPU when available) and reports the steady-state
-combined throughput as one JSON line:
+Runs the two batched stages exactly as the production pipeline does on
+the bundled reference example workload — overlap rescoring of every
+k-mer candidate pair AND whole-DB Bayesian correction — using the
+Pallas device stages (use_device="pallas") with the per-iteration
+shared device planes, and reports steady-state combined throughput as
+one JSON line:
 
   {"metric": "iteration_hot_path_residues_per_s", "value": ...,
    "unit": "residues/s", "vs_baseline": ...}
@@ -14,15 +15,15 @@ Baseline: the reference C++ binary (SSE4.1 OpenMP, 8 threads) spends
 (766,712 residues; measured from a full profiled run on this machine's
 CPU) = ~1.8M residues/s.
 
-Steady-state = executables already compiled (shape-bucketed, so one
-compile serves every assembly iteration; compile time amortises away at
-production scale).
-
-Timing forces host materialisation of the step outputs each repetition:
-on tunnelled TPU backends `jax.block_until_ready` can return before the
-device work executes (dispatch-only timing), so every repetition pulls
-the final arrays to the host — the same boundary the real pipeline pays
-between device stages.
+Timing notes:
+  * each repetition runs the COMPLETE stage functions (host prep, device
+    kernels, host output assembly) — the same work a pipeline iteration
+    pays, so results materialise on the host by construction.  On
+    tunnelled TPU backends `jax.block_until_ready` can return before the
+    device work executes, so kernel-only timings would be fiction.
+  * steady-state: executables already compiled (shape-bucketed, so one
+    compile serves every assembly iteration; compile time amortises away
+    at production scale).
 """
 import json
 import os
@@ -40,87 +41,30 @@ def main():
     import jax
     # NOTE: do NOT enable jax_compilation_cache_dir here — cache
     # serialization hangs compilation on tunnelled TPU backends.
-    from carpedeam_tpu.constants import CHAR_TO_ACGT, SMOOTHING_VALUE
-    from carpedeam_tpu.damage import (DamageModel, layer_index,
-                                      seq_error_profile)
+    from carpedeam_tpu.damage import DamageModel
     from carpedeam_tpu.io import SeqDB
     from carpedeam_tpu.kmer.matcher import kmermatcher
-    from carpedeam_tpu.ops.correction_tpu import (correction_device,
-                                                  prepare_correction_inputs)
-    from carpedeam_tpu.ops.rescore_pallas import rescore_pairs_pallas
-    from carpedeam_tpu.ops.rescore_tpu import (pack_sequences,
-                                               rescore_pairs_device)
-    from carpedeam_tpu.stages.rescorediagonal import rescorediagonal
-    from carpedeam_tpu.utils import bucket_len, bucket_pairs, bucket_positions
+    from carpedeam_tpu.ops.correction_pallas import correction_pallas
+    from carpedeam_tpu.ops.rescore_pallas import rescorediagonal_pallas
+    from carpedeam_tpu.ops.rescore_tpu import pack_sequences
+    from carpedeam_tpu.utils import bucket_len
 
     example = "/root/reference/example/test_data.fq.gz"
     db = SeqDB.from_fastx(example)
     dm = DamageModel.load("/root/reference/example/dhigh")
     pref = kmermatcher(db, 20, 200, 0.2, False)
-    aln = rescorediagonal(db, pref, seq_id_thr=0.9)
+    total_len = int(db.lengths.sum())
 
-    n = len(db)
     planes, lengths = pack_sequences(db, max_len=bucket_len(
         int(db.lengths.max())))
-    max_len = int(planes["code"].shape[1])
-    key2id = db.key_to_id()
-
-    # --- rescore inputs (padded to the pair bucket) -----------------------
-    npairs = len(pref.qkey)
-    pad_p = bucket_pairs(npairs)
-    qidx = np.zeros(pad_p, np.int32)
-    tidx = np.zeros(pad_p, np.int32)
-    diag = np.zeros(pad_p, np.int32)
-    is_rev = np.zeros(pad_p, bool)
-    qidx[:npairs] = [key2id[int(k)] for k in pref.qkey]
-    tidx[:npairs] = [key2id[int(k)] for k in pref.tkey]
-    diag[:npairs] = pref.diag
-    is_rev[:npairs] = pref.score < 0
-
-    # --- correction inputs ------------------------------------------------
-    total_len = int(db.lengths.sum())
-    pad_total = bucket_positions(total_len)
-    rec = prepare_correction_inputs(db, aln, n, 0.99, 0.9)
-    nrec = len(rec["rec_q"])
-    pad_r = bucket_pairs(nrec)
-    recp = {}
-    for name, arr in rec.items():
-        out = np.zeros(pad_r, dtype=arr.dtype)
-        out[:nrec] = arr
-        recp[name] = out
-    recp["rec_ry_smin"][nrec:] = 1
-    obs = np.zeros(pad_total, np.int32)
-    obs[:total_len] = CHAR_TO_ACGT[db.data[:total_len]]
-    own_layer = np.zeros(pad_total, np.int32)
-    own_layer[:total_len] = np.concatenate(
-        [layer_index(np.arange(int(L)), int(L)) for L in db.lengths])
-    was_ext = np.zeros(pad_total, bool)
-    log_err = np.log(seq_error_profile(0.01)).astype(np.float32)
-    log_f = np.log(np.maximum(dm.fwd, SMOOTHING_VALUE))
-    log_r = np.log(np.maximum(dm.rev, SMOOTHING_VALUE))
-
-    dev = jax.device_put
-    args_rescore = tuple(dev(a) for a in (
-        planes["code"], planes["sym"], lengths.astype(np.int32),
-        qidx, tidx, diag, is_rev))
-    args_corr = tuple(dev(a) for a in (
-        planes["sym"], lengths.astype(np.int32),
-        recp["rec_q"], recp["rec_t_row"], recp["rec_qstart"],
-        recp["rec_tstart"], recp["rec_alen"], recp["rec_is_rev"],
-        recp["rec_keep_pre"], recp["rec_ry_smin"], recp["rec_goffset"],
-        obs, own_layer, was_ext, log_err, log_f, log_r,
-        dm.fwd.astype(np.float32)))
-
-    interpret = jax.default_backend() == "cpu"
+    planes = {k: jax.device_put(v) for k, v in planes.items()}
 
     def step():
-        out = rescore_pairs_pallas(*args_rescore, max_len=max_len,
-                                   interpret=interpret)
-        corrected, tot = correction_device(*args_corr, max_len=max_len,
-                                           total_len=pad_total)
-        # materialise on host: proves the device work actually ran and
-        # charges the same device->host boundary the pipeline pays
-        return np.asarray(out["score"]), np.asarray(corrected)
+        aln = rescorediagonal_pallas(db, pref, seq_id_thr=0.9,
+                                     planes=planes, lengths=lengths)
+        corr = correction_pallas(db, aln, dm, 0.99, 0.9,
+                                 planes=planes, lengths=lengths)
+        return aln, corr
 
     step()                              # compile + drain queue
     times = []

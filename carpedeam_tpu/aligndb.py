@@ -31,10 +31,11 @@ def cpp_truncate_seqid(seq_id) -> np.ndarray:
 
 
 def cpp_eval_roundtrip(eval_) -> np.ndarray:
-    """Serialise-then-parse of the e-value through "%.3E"."""
+    """Serialise-then-parse of the e-value through "%.3E" (vectorised:
+    numpy C-level formatting instead of a Python loop)."""
     e = np.atleast_1d(np.asarray(eval_, dtype=np.float64))
-    out = np.array([float("%.3E" % v) for v in e.ravel()]).reshape(e.shape)
-    return out
+    txt = np.char.mod("%.3E", e.ravel())
+    return txt.astype(np.float64).reshape(e.shape)
 
 
 @dataclass

@@ -49,6 +49,14 @@ class SeqDB:
     def key_to_id(self) -> dict:
         return {int(k): i for i, k in enumerate(self.keys)}
 
+    def key_id_map(self) -> np.ndarray:
+        """Vectorised key->row lookup table (keys are small ints); use
+        `m[keys]` instead of a per-record dict lookup loop."""
+        m = np.full(int(self.keys.max()) + 1 if len(self.keys) else 1, -1,
+                    dtype=np.int64)
+        m[self.keys.astype(np.int64)] = np.arange(len(self.keys))
+        return m
+
     @property
     def total_residues(self) -> int:
         """Sum of sequence lengths == DBReader::getAminoAcidDBSize for a

@@ -1,0 +1,351 @@
+"""Fused Pallas TPU kernel for whole-database Bayesian correction.
+
+Device-side replacement for ops/correction_tpu.py's scatter+argmax pair
+(reference semantics: src/assembler/correction.cpp:7-123,200-463).  The
+XLA formulation scatter-adds ~6M alignment columns into a flat coverage
+vector — TPU scatter serialises to ~80ns/element and dominated the whole
+pipeline.  This kernel removes the scatter entirely:
+
+  * queries are packed into blocks of G query slots whose records (the
+    alignment candidates that survived the host-side pre-filters) fit in
+    REC_TILE record slots; records of one query are contiguous, so each
+    grid step owns G complete query coverage stacks;
+  * per record, the target window is aligned to the QUERY-local frame
+    with one barrel-shifter rotation (roll by (tstart - qstart) mod L —
+    the query row needs no shift in its own frame), the RY-identity gate
+    runs as a masked lane reduction, and each surviving column gets a
+    class id c = targetBase*11 + damageLayer in [0, 44);
+  * the per-query coverage histogram counts[q, p, c] is then ONE MXU
+    matmul: a (2G, REC_TILE) 0/1 membership matrix (query-slot rows,
+    plus reverse-orientation rows) times the (REC_TILE, 44*L) one-hot
+    class planes — bf16 inputs, f32 accumulation, exact for counts
+    <= REC_TILE;
+  * the Bayesian argmax (sequencing-error/damage log-likelihood per
+    candidate base, ct/ga-ratio early exit, first-max tie semantics)
+    is fused in the same program: counts never leave VMEM.
+
+Layouts are class-major (44 static (G, L) lane slices) so no Mosaic
+relayouts are needed.  Integer decisions (RY gate, ratio exits, coverage
+counts) are exact; the log-likelihood sums are f32 like the XLA kernel
+(parity with the f64 oracle is enforced by the end-to-end golden tests).
+
+On non-TPU backends the kernel runs in interpreter mode.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import SMOOTHING_VALUE
+from ..damage import DamageModel, seq_error_profile
+from ..io.seqdb import SeqDB
+
+G = 32           # query slots per block
+REC_TILE = 256   # record slots per block
+NB_BUCKET = 128  # block-count bucket (compile reuse across iterations)
+MAX_LEN_PALLAS = 512  # beyond this, fall back to the XLA kernel
+
+
+def _roll_rows_left(x, shift, width: int):
+    n_bits = max(1, (width - 1).bit_length())
+    for k in range(n_bits):
+        step = 1 << k
+        if step >= width:
+            break
+        take = (shift & step) != 0
+        rolled = jnp.concatenate([x[:, step:], x[:, :step]], axis=1)
+        x = jnp.where(take, rolled, x)
+    return x
+
+
+def _correction_kernel(q_sym_ref, t_sym_ref, rscal_ref, rrow_ref,
+                       slot_sym_ref, qscal_ref, wtab_ref,
+                       packed_ref, onehot):
+    R, L = q_sym_ref.shape
+    q_sym = q_sym_ref[:].astype(jnp.int32)
+    t_sym = t_sym_ref[:].astype(jnp.int32)
+    qstart = rscal_ref[:, 0:1].astype(jnp.int32)
+    tstart = rscal_ref[:, 1:2].astype(jnp.int32)
+    alen = rscal_ref[:, 2:3].astype(jnp.int32)
+    tlen = rscal_ref[:, 3:4].astype(jnp.int32)
+    smin = rscal_ref[:, 4:5].astype(jnp.int32)
+    keep_pre = rscal_ref[:, 5:6].astype(jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+
+    # align the target window to the query-local frame
+    shift = tstart - qstart
+    shift = jnp.where(shift < 0, shift + L, shift)
+    t_aln = _roll_rows_left(t_sym, shift, L)
+    in_aln = (pos >= qstart) & (pos < qstart + alen)
+
+    # RY-identity gate (integer-exact dynamic threshold from the host)
+    ry_q = (q_sym == ord("C")) | (q_sym == ord("T"))
+    ry_t = (t_aln == ord("C")) | (t_aln == ord("T"))
+    ry_cnt = jnp.sum((in_aln & (ry_q == ry_t)).astype(jnp.int32),
+                     axis=1, keepdims=True)
+    keep = (keep_pre != 0) & (ry_cnt >= smin)
+
+    # per-column class id: targetBase (A0 C1 G2 T3, others 0) * 11 + layer
+    t_base = jnp.zeros((R, L), jnp.int32)
+    t_base = jnp.where(t_aln == ord("C"), 1, t_base)
+    t_base = jnp.where(t_aln == ord("G"), 2, t_base)
+    t_base = jnp.where(t_aln == ord("T"), 3, t_base)
+    t_real = tstart + pos - qstart
+    layer = jnp.full((R, L), 5, jnp.int32)
+    layer = jnp.where(t_real < 5, t_real, layer)
+    from_end = t_real - (tlen - 5)
+    layer = jnp.where(from_end >= 0, 6 + from_end, layer)
+    cls = jnp.where(in_aln & keep, t_base * 11 + layer, 44)
+
+    # one-hot class planes, class-major: onehot[r, c*L + p]
+    for c in range(44):
+        onehot[:, c * L:(c + 1) * L] = (cls == c).astype(jnp.bfloat16)
+
+    # membership matmul: counts[0:G] = per-slot coverage,
+    # counts[G:2G] = reverse-orientation coverage
+    qslot = rrow_ref[0:1, :].astype(jnp.int32)
+    is_rev = rrow_ref[1:2, :].astype(jnp.int32)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (2 * G, R), 0)
+    m_all = (gi == qslot).astype(jnp.int32)
+    m_rev = (((gi - G) == qslot) & (is_rev != 0)).astype(jnp.int32)
+    memb = jnp.where(gi < G, m_all, m_rev)
+    counts = jnp.dot(memb.astype(jnp.bfloat16), onehot[:],
+                     preferred_element_type=jnp.float32)  # (2G, 44*L)
+
+    # ---- fused Bayesian argmax over the G query slots ----
+    qlen = qscal_ref[:, 0:1].astype(jnp.int32)
+    was_ext = qscal_ref[:, 1:2].astype(jnp.int32) != 0
+    slot_sym = slot_sym_ref[:].astype(jnp.int32)
+    posg = jax.lax.broadcasted_iota(jnp.int32, (G, L), 1)
+
+    obs = jnp.zeros((G, L), jnp.int32)
+    obs = jnp.where(slot_sym == ord("C"), 1, obs)
+    obs = jnp.where(slot_sym == ord("G"), 2, obs)
+    obs = jnp.where(slot_sym == ord("T"), 3, obs)
+    own_layer = jnp.full((G, L), 5, jnp.int32)
+    own_layer = jnp.where(posg < 5, posg, own_layer)
+    own_end = posg - (qlen - 5)
+    own_layer = jnp.where(own_end >= 0, 6 + own_end, own_layer)
+
+    base_cov = [jnp.zeros((G, L), jnp.float32) for _ in range(4)]
+    lik = [jnp.zeros((G, L), jnp.float32) for _ in range(4)]
+    for c in range(44):
+        Cc = counts[0:G, c * L:(c + 1) * L]
+        Rc = counts[G:2 * G, c * L:(c + 1) * L]
+        F = Cc - Rc
+        base_cov[c // 11] = base_cov[c // 11] + Cc
+        for q in range(4):
+            lik[q] = lik[q] + F * wtab_ref[c, q] + Rc * wtab_ref[c, 4 + q]
+    tot = base_cov[0] + base_cov[1] + base_cov[2] + base_cov[3]
+
+    # candidate-base prior: damage table for original positions,
+    # sequencing-error table for already-extended sequence
+    obs_mask = [(obs == t).astype(jnp.float32) for t in range(4)]
+    for q in range(4):
+        dam = jnp.zeros((G, L), jnp.float32)
+        for t in range(4):
+            lay = jnp.zeros((G, L), jnp.float32)
+            for l in range(11):
+                lay = lay + jnp.where(own_layer == l,
+                                      wtab_ref[t * 11 + l, q], 0.0)
+            dam = dam + obs_mask[t] * lay
+        err = (obs_mask[0] * wtab_ref[44, q] + obs_mask[1] * wtab_ref[45, q]
+               + obs_mask[2] * wtab_ref[46, q] + obs_mask[3] * wtab_ref[47, q])
+        log_q = jnp.where(was_ext, err, dam)
+        lik[q] = lik[q] + tot * log_q
+
+    # first-max argmax (jnp.argmax tie semantics: strict > to update)
+    best = lik[0]
+    bi = jnp.zeros((G, L), jnp.int32)
+    for q in range(1, 4):
+        upd = lik[q] > best
+        best = jnp.where(upd, lik[q], best)
+        bi = jnp.where(upd, q, bi)
+
+    # ct/ga >= 0.4 early exit (exact: 5*count >= 2*total on integer f32)
+    ratio_exit = (~was_ext) & ((5.0 * base_cov[3] >= 2.0 * tot)
+                               | (5.0 * base_cov[0] >= 2.0 * tot))
+    corrected = jnp.where(ratio_exit, obs, bi)
+    # nibble-pack TWO query slots per byte (slots g and g+G/2): bits 0-1
+    # corrected base, bit 2 the coverage>1 gate — an 8x narrower D2H
+    # pull than int32 planes
+    covered = (tot >= 2.0).astype(jnp.int32)
+    v = corrected + 4 * covered
+    packed_ref[:] = (v[0:G // 2, :] + 16 * v[G // 2:G, :]).astype(jnp.int8)
+
+
+@partial(jax.jit, static_argnames=("nb", "max_len", "interpret"))
+def _correction_pallas_device(sym2, rec_rows_q, rec_rows_t, rscal, rrow,
+                              slot_qid, qscal, wtab,
+                              nb: int, max_len: int, interpret: bool):
+    q_sym = sym2[rec_rows_q].astype(jnp.int8)       # (nb*R, L) row gathers
+    t_sym = sym2[rec_rows_t].astype(jnp.int8)
+    slot_sym = sym2[slot_qid].astype(jnp.int8)      # (nb*G, L)
+    L = max_len
+
+    def spec(shape, mem=pltpu.VMEM):
+        return pl.BlockSpec(shape, lambda i: (i, 0), memory_space=mem)
+
+    packed = pl.pallas_call(
+        _correction_kernel,
+        grid=(nb,),
+        in_specs=[spec((REC_TILE, L)), spec((REC_TILE, L)),
+                  spec((REC_TILE, 8)), spec((8, REC_TILE)),
+                  spec((G, L)), spec((G, 8)),
+                  pl.BlockSpec((48, 16), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=spec((G // 2, L)),
+        out_shape=jax.ShapeDtypeStruct((nb * G // 2, L), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((REC_TILE, 44 * L), jnp.bfloat16)],
+        interpret=interpret,
+    )(q_sym, t_sym, rscal, rrow, slot_sym, qscal, wtab)
+    return packed
+
+
+def build_correction_blocks(rec, lengths, n_seqs):
+    """Pack queries (with their surviving records) into (G, REC_TILE)
+    blocks.  Returns None if any single query owns more than REC_TILE
+    records (caller falls back to the XLA kernel)."""
+    from ..utils import bucket
+
+    keep = rec["rec_keep_pre"]
+    idx = np.nonzero(keep)[0]
+    q = rec["rec_q"][idx]
+    order = np.argsort(q, kind="stable")
+    idx = idx[order]
+    q = q[order]
+    uq, starts, cnts = np.unique(q, return_index=True, return_counts=True)
+    if len(cnts) and cnts.max() > REC_TILE:
+        return None
+    nq = len(uq)
+    nrec = len(q)
+    cum = np.concatenate([[0], np.cumsum(cnts)])
+
+    # greedy pack boundaries: one loop per BLOCK (not per query)
+    bstart = []
+    pos = 0
+    while pos < nq:
+        bstart.append(pos)
+        j_rec = int(np.searchsorted(cum, cum[pos] + REC_TILE,
+                                    side="right")) - 1
+        pos = min(pos + G, max(j_rec, pos + 1))
+    bstart = np.asarray(bstart, dtype=np.int64)
+    bend = np.concatenate([bstart[1:], [nq]])
+    nb = bucket(max(1, len(bstart)), NB_BUCKET)
+
+    # vectorised slot assignment
+    block_of_q = np.repeat(np.arange(len(bstart)), bend - bstart)
+    slot_of_q = np.arange(nq) - bstart[block_of_q]
+    rank = np.repeat(np.arange(nq), cnts)          # query rank per record
+    blk_r = block_of_q[rank]
+    ridx = np.arange(nrec) - cum[bstart[blk_r]]    # record pos in block
+    rec_pos = blk_r * REC_TILE + ridx
+
+    rec_sel = np.zeros(nb * REC_TILE, dtype=np.int64)
+    rec_use = np.zeros(nb * REC_TILE, dtype=bool)
+    qslot = np.zeros((nb, 8, REC_TILE), dtype=np.int32)
+    qslot[:, 0, :] = G  # no slot
+    rec_sel[rec_pos] = np.arange(nrec)
+    rec_use[rec_pos] = True
+    qslot0 = np.full(nb * REC_TILE, G, dtype=np.int32)
+    qslot0[rec_pos] = slot_of_q[rank]
+    qslot[:, 0, :] = qslot0.reshape(nb, REC_TILE)
+    slot_qid = np.zeros(nb * G, dtype=np.int32)
+    slot_valid = np.zeros(nb * G, dtype=bool)
+    slot_pos = block_of_q * G + slot_of_q
+    slot_qid[slot_pos] = uq
+    slot_valid[slot_pos] = True
+    sel = idx[rec_sel]  # indices into the original record arrays
+    return {"nb": nb, "sel": sel, "use": rec_use,
+            "qslot": qslot, "slot_qid": slot_qid, "slot_valid": slot_valid}
+
+
+def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
+                      corr_reads_ry_seq_id: float, seq_id_thr: float,
+                      planes=None, lengths=None) -> SeqDB:
+    """Fused-Pallas drop-in for ops.correction_tpu.correction_tpu."""
+    from ..constants import CHAR_TO_ACGT
+    from ..utils import bucket_len
+    from .correction_tpu import correction_tpu, prepare_correction_inputs
+    from .rescore_tpu import pack_sequences
+
+    if planes is None:
+        planes, lengths = pack_sequences(seqdb, max_len=bucket_len(
+            int(seqdb.lengths.max()) if len(seqdb) else 1))
+    n = len(seqdb)
+    max_len = planes["sym"].shape[1]
+    if max_len > MAX_LEN_PALLAS:
+        return correction_tpu(seqdb, aln, damage, corr_reads_ry_seq_id,
+                              seq_id_thr, planes=planes, lengths=lengths)
+
+    rec = prepare_correction_inputs(seqdb, aln, n, corr_reads_ry_seq_id,
+                                    seq_id_thr)
+    blocks = build_correction_blocks(rec, lengths, n)
+    if blocks is None:
+        return correction_tpu(seqdb, aln, damage, corr_reads_ry_seq_id,
+                              seq_id_thr, planes=planes, lengths=lengths)
+    nb = blocks["nb"]
+    sel, use = blocks["sel"], blocks["use"]
+
+    lens = np.asarray(lengths, dtype=np.int64)
+    rscal = np.zeros((nb * REC_TILE, 8), dtype=np.int16)
+    rscal[:, 0] = rec["rec_qstart"][sel]
+    rscal[:, 1] = rec["rec_tstart"][sel]
+    rscal[:, 2] = rec["rec_alen"][sel]
+    rscal[:, 3] = lens[rec["rec_t_row"][sel] % n]
+    rscal[:, 4] = rec["rec_ry_smin"][sel]
+    rscal[:, 5] = use  # keep_pre already applied by the block builder
+    rrow = blocks["qslot"].astype(np.int8)
+    rrow[:, 1, :] = (rec["rec_is_rev"][sel]
+                     & use).reshape(nb, REC_TILE).astype(np.int8)
+
+    qscal = np.zeros((nb * G, 8), dtype=np.int16)
+    qscal[:, 0] = lens[blocks["slot_qid"]]
+    qscal[:, 1] = seqdb.ext[blocks["slot_qid"]] & blocks["slot_valid"]
+
+    seq_err = seq_error_profile(0.01)
+    log_err = np.log(seq_err).astype(np.float32)         # [t_obs? see below]
+    log_f = np.log(np.maximum(damage.fwd, SMOOTHING_VALUE)).astype(np.float32)
+    log_r = np.log(np.maximum(damage.rev, SMOOTHING_VALUE)).astype(np.float32)
+    wtab = np.zeros((48, 16), dtype=np.float32)
+    for t in range(4):
+        for l in range(11):
+            wtab[t * 11 + l, 0:4] = log_f[l, :, t]
+            wtab[t * 11 + l, 4:8] = log_r[l, :, t]
+        # log_q_err[p, q] = log_err[q, obs[p]]
+        wtab[44 + t, 0:4] = log_err[:, t]
+
+    packed = np.asarray(_correction_pallas_device(
+        planes["sym"], rec["rec_q"][sel].astype(np.int32),
+        rec["rec_t_row"][sel].astype(np.int32),
+        rscal, rrow.reshape(nb * 8, REC_TILE),
+        blocks["slot_qid"], qscal, wtab,
+        nb=nb, max_len=max_len,
+        interpret=jax.default_backend() == "cpu"))
+
+    # host epilogue (vectorised): passthrough by default, corrected where
+    # the packed coverage bit is set
+    total_len = int(seqdb.lengths.sum())
+    out_flat = seqdb.data[:total_len].copy()
+    offsets = seqdb.offsets.astype(np.int64)
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    # un-nibble: block row b*G/2+g holds slots g (low) and g+G/2 (high)
+    half = packed.reshape(nb, G // 2, max_len)
+    full = np.concatenate([half & 15, (half >> 4) & 15], axis=1)
+    full = full.reshape(nb * G, max_len)
+    valid = np.nonzero(blocks["slot_valid"])[0]
+    qids = blocks["slot_qid"][valid]
+    posg = np.arange(max_len)
+    pv = full[valid]
+    m = (pv >= 4) & (posg[None, :] < lens[qids][:, None])
+    rows, cols = np.nonzero(m)
+    flat_idx = offsets[qids[rows]] + cols
+    out_flat[flat_idx] = acgt[pv[rows, cols] & 3]
+    return SeqDB.from_flat(out_flat, seqdb.lengths.copy(),
+                           keys=seqdb.keys.copy(), ext=seqdb.ext.copy(),
+                           headers=seqdb.headers)

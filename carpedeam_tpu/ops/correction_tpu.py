@@ -158,10 +158,10 @@ def prepare_correction_inputs(seqdb: SeqDB, aln: AlnDB, sym2_shape_n: int,
     per-record arrays for correction_device.  Mirrors stages/correction.py's
     filtering exactly (terminal/avCov gates, contig exclusion, seqId and
     alnLen gates; the RY gate runs on device)."""
-    key2id = seqdb.key_to_id()
+    keymap = seqdb.key_id_map()
     n = len(aln.qkey)
-    qid = np.array([key2id[int(k)] for k in aln.qkey], dtype=np.int64)
-    tid = np.array([key2id[int(k)] for k in aln.cols["tkey"]], dtype=np.int64)
+    qid = keymap[aln.qkey.astype(np.int64)]
+    tid = keymap[aln.cols["tkey"].astype(np.int64)]
     qs = aln.cols["qstart"].astype(np.int64).copy()
     qe = aln.cols["qend"].astype(np.int64).copy()
     ts = aln.cols["dbstart"].astype(np.int64).copy()

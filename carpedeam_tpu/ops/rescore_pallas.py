@@ -55,9 +55,8 @@ def _roll_rows_left(x, shift, n_bits: int, width: int):
     return x
 
 
-def _rescore_kernel(qc_ref, tc_ref, qs_ref, ts_ref, meta_ref,
-                    score_ref, qstart_ref, qend_ref, tstart_ref, tend_ref,
-                    alnlen_ref, idcnt_ref):
+def _rescore_kernel(qc_ref, tc_ref, qs_ref, ts_ref, meta_ref, out_ref):
+    odt = out_ref.dtype
     B, L = qc_ref.shape
     n_bits = max(1, (L - 1).bit_length())
     diag_u = meta_ref[:, 0:1]
@@ -124,13 +123,14 @@ def _rescore_kernel(qc_ref, tc_ref, qs_ref, ts_ref, meta_ref,
     id_cnt = jnp.sum(((qw == tw) & (pos < aln_len)).astype(jnp.int32),
                      axis=1, keepdims=True)
 
-    score_ref[:] = best_score
-    qstart_ref[:] = qstart
-    qend_ref[:] = qend
-    tstart_ref[:] = tstart
-    tend_ref[:] = tend
-    alnlen_ref[:] = aln_len
-    idcnt_ref[:] = id_cnt
+    # one packed (B, 5) output = ONE device->host pull; qend/tend are
+    # derivable on the host (start + aln_len - 1 holds for no-hit rows
+    # too: -1 + 1 - 1 == -1), and int16 when the score range allows
+    out_ref[:, 0:1] = best_score.astype(odt)
+    out_ref[:, 1:2] = qstart.astype(odt)
+    out_ref[:, 2:3] = tstart.astype(odt)
+    out_ref[:, 3:4] = aln_len.astype(odt)
+    out_ref[:, 4:5] = id_cnt.astype(odt)
 
 
 @partial(jax.jit, static_argnames=("max_len", "interpret"))
@@ -162,24 +162,35 @@ def rescore_pairs_pallas(code2, sym2, lengths, qidx, tidx, diag16, is_rev,
     B = PAIR_BLOCK
     plane_spec = pl.BlockSpec((B, max_len), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((B, 1), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    col_shape = jax.ShapeDtypeStruct((n_pairs, 1), jnp.int32)
-    outs = pl.pallas_call(
+    packed = pl.pallas_call(
         _rescore_kernel,
         grid=(n_pairs // B,),
         in_specs=[plane_spec, plane_spec, plane_spec, plane_spec,
                   pl.BlockSpec((B, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[col_spec] * 7,
-        out_shape=[col_shape] * 7,
+        out_specs=pl.BlockSpec((B, 5), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        # scores reach 2*max_len; coords stay < max_len
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pairs, 5),
+            jnp.int16 if max_len <= 8192 else jnp.int32),
         interpret=interpret,
     )(qc, tc, qs, ts, meta)
-    score, qstart, qend, tstart, tend, aln_len, id_cnt = (
-        o[:, 0] for o in outs)
-    return {"score": score, "qstart": qstart, "qend": qend,
-            "tstart": tstart, "tend": tend, "aln_len": aln_len,
-            "id_cnt": id_cnt, "qlen": qlen, "tlen": tlen}
+    return packed
+
+
+RESCORE_FIELDS = ("score", "qstart", "tstart", "aln_len", "id_cnt")
+
+
+def unpack_rescore(packed_np, lengths, qidx, tidx):
+    """Split the packed kernel output into the field dict (host side;
+    qend/tend and qlen/tlen are recomputed instead of being pulled)."""
+    raw = {name: packed_np[:, i] for i, name in enumerate(RESCORE_FIELDS)}
+    raw["qend"] = raw["qstart"] + raw["aln_len"] - 1
+    raw["tend"] = raw["tstart"] + raw["aln_len"] - 1
+    raw["qlen"] = lengths[qidx].astype(np.int32)
+    raw["tlen"] = lengths[tidx].astype(np.int32)
+    return raw
 
 
 def _use_interpret() -> bool:
@@ -197,15 +208,15 @@ def rescorediagonal_pallas(seqdb, pref, seq_id_thr, eval_thr=0.001,
     if planes is None:
         planes, lengths = pack_sequences(seqdb, max_len=bucket_len(
             int(seqdb.lengths.max()) if len(seqdb) else 1))
-    key2id = seqdb.key_to_id()
+    keymap = seqdb.key_id_map()
     n = len(pref.qkey)
     np_pad = bucket_pairs(n)
     qidx = np.zeros(np_pad, dtype=np.int32)
     tidx = np.zeros(np_pad, dtype=np.int32)
     diag = np.zeros(np_pad, dtype=np.int32)
     is_rev = np.zeros(np_pad, dtype=bool)
-    qidx[:n] = [key2id[int(k)] for k in pref.qkey]
-    tidx[:n] = [key2id[int(k)] for k in pref.tkey]
+    qidx[:n] = keymap[pref.qkey.astype(np.int64)]
+    tidx[:n] = keymap[pref.tkey.astype(np.int64)]
     diag[:n] = pref.diag
     is_rev[:n] = pref.score < 0
     out = rescore_pairs_pallas(planes["code"], planes["sym"],
@@ -213,6 +224,7 @@ def rescorediagonal_pallas(seqdb, pref, seq_id_thr, eval_thr=0.001,
                                diag, is_rev,
                                max_len=planes["code"].shape[1],
                                interpret=_use_interpret())
-    raw = {k: np.asarray(v)[:n] for k, v in out.items()}
+    packed = np.asarray(out)[:n].astype(np.int32)  # ONE device->host pull
+    raw = unpack_rescore(packed, np.asarray(lengths), qidx[:n], tidx[:n])
     return assemble_alndb(seqdb, pref, raw, seq_id_thr, eval_thr,
                           aln_len_thr)

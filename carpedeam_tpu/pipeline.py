@@ -78,16 +78,16 @@ def _pick_stage_impls(params: Params):
         from .parallel.mesh import (correction_sharded, make_mesh,
                                     rescorediagonal_sharded)
         mesh = make_mesh(len(jax.devices()))
-        return rescorediagonal_sharded(mesh), correction_sharded(mesh)
+        return rescorediagonal_sharded(mesh), correction_sharded(mesh), False
     if use == "pallas":
-        from .ops.correction_tpu import correction_tpu
+        from .ops.correction_pallas import correction_pallas
         from .ops.rescore_pallas import rescorediagonal_pallas
-        return rescorediagonal_pallas, correction_tpu
+        return rescorediagonal_pallas, correction_pallas, True
     if use == "1":
         from .ops.correction_tpu import correction_tpu
         from .ops.rescore_tpu import rescorediagonal_tpu
-        return rescorediagonal_tpu, correction_tpu
-    return rescorediagonal, correction
+        return rescorediagonal_tpu, correction_tpu, True
+    return rescorediagonal, correction, False
 
 
 def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
@@ -98,7 +98,23 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
     """
     ck = Checkpointer(tmp_dir)
     log = progress or (lambda *_: None)
-    rescore_fn, correction_fn = _pick_stage_impls(params)
+    rescore_fn, correction_fn, wants_planes = _pick_stage_impls(params)
+
+    def _shared_planes(db):
+        """Pack + device_put the sequence planes ONCE per iteration; the
+        rescoring and correction device stages then reuse the same
+        device-resident arrays (the tunnel H2D path is slow enough that a
+        re-upload per stage is measurable)."""
+        if not wants_planes or not len(db):
+            return {}
+        import jax
+
+        from .ops.rescore_tpu import pack_sequences
+        from .utils import bucket_len
+        planes, lengths = pack_sequences(db, max_len=bucket_len(
+            int(db.lengths.max())))
+        planes = {k: jax.device_put(v) for k, v in planes.items()}
+        return {"planes": planes, "lengths": lengths}
     from .utils import StageTimer
     timer = StageTimer(log if params.verbosity >= 4 else None)
     cur = reads
@@ -127,13 +143,15 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                                    params.kmers_per_sequence_scale,
                                    params.include_only_extendable_reads,
                                    params.hash_shift)
+            shared = _shared_planes(cur)
             with timer.time(f"rescorediagonal_{step}"):
                 aln = rescore_fn(cur, pref, params.seq_id_thr,
-                                 params.eval_thr, params.aln_len_thr)
+                                 params.eval_thr, params.aln_len_thr,
+                                 **shared)
             with timer.time(f"correction_{step}"):
                 corr = correction_fn(cur, aln, damage,
                                      params.corr_reads_ry_seq_id,
-                                     params.seq_id_thr)
+                                     params.seq_id_thr, **shared)
             with timer.time(f"read_assembly_{step}"):
                 nxt = read_assembly(corr, aln, damage, params.seq_id_thr,
                                     params.ry_seq_id_thr,
@@ -149,13 +167,15 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                                    params.kmers_per_sequence_scale,
                                    params.include_only_extendable_contigs,
                                    params.hash_shift)
+            shared = _shared_planes(cur)
             with timer.time(f"rescorediagonal_{step}"):
                 aln = rescore_fn(cur, pref, params.corr_contig_seq_id,
-                                 params.eval_thr, params.aln_len_thr)
+                                 params.eval_thr, params.aln_len_thr,
+                                 **shared)
             with timer.time(f"correction_{step}"):
                 corr = correction_fn(cur, aln, damage,
                                      params.corr_reads_ry_seq_id,
-                                     params.corr_contig_seq_id)
+                                     params.corr_contig_seq_id, **shared)
             with timer.time(f"contig_merge_{step}"):
                 nxt = contig_merge(corr, aln, damage,
                                    params.merge_seq_id_thr,

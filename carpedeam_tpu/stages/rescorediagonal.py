@@ -163,10 +163,10 @@ def assemble_alndb(seqdb: SeqDB, pref: PrefDB, raw: dict, seq_id_thr: float,
                    eval_thr: float, aln_len_thr: int) -> AlnDB:
     """Statistics + filters + per-query record assembly over the raw
     per-pair scoring arrays (from the NumPy or device scorer)."""
-    key2id = seqdb.key_to_id()
+    keymap = seqdb.key_id_map()
     db_res = seqdb.total_residues
-    qid = np.array([key2id[int(k)] for k in pref.qkey], dtype=np.int64)
-    tid = np.array([key2id[int(k)] for k in pref.tkey], dtype=np.int64)
+    qid = keymap[pref.qkey.astype(np.int64)]
+    tid = keymap[pref.tkey.astype(np.int64)]
     is_rev = pref.score < 0
     best_score = raw["score"].astype(np.int64)
     qstart = raw["qstart"].astype(np.int64)

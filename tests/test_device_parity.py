@@ -91,7 +91,8 @@ def test_rescore_pallas_raw_outputs_match_xla_kernel(small_world):
     including no-hit rows that the filters would drop."""
     import numpy as np
 
-    from carpedeam_tpu.ops.rescore_pallas import rescore_pairs_pallas
+    from carpedeam_tpu.ops.rescore_pallas import (rescore_pairs_pallas,
+                                                   unpack_rescore)
     from carpedeam_tpu.ops.rescore_tpu import (pack_sequences,
                                                rescore_pairs_device)
     from carpedeam_tpu.utils import bucket_len, bucket_pairs
@@ -114,6 +115,26 @@ def test_rescore_pallas_raw_outputs_match_xla_kernel(small_world):
             qidx, tidx, diag, is_rev)
     max_len = planes["code"].shape[1]
     a = rescore_pairs_device(*args, max_len=max_len)
-    b = rescore_pairs_pallas(*args, max_len=max_len, interpret=True)
+    packed = np.asarray(rescore_pairs_pallas(*args, max_len=max_len,
+                                             interpret=True))
+    b = unpack_rescore(packed, lengths, qidx, tidx)
     for k in a:
         assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
+
+
+def test_correction_pallas_matches_oracle(small_world, damage_model):
+    """The fused Pallas correction (interpret mode on CPU) must match the
+    host oracle byte-for-byte, like the XLA scatter formulation."""
+    import carpedeam_tpu.ops.correction_pallas as CP
+
+    db, _, aln = small_world
+    ora = correction(db, aln, damage_model, 0.99, 0.9)
+    old = CP.NB_BUCKET
+    CP.NB_BUCKET = 4          # small grids: interpret mode is slow
+    try:
+        dev = CP.correction_pallas(db, aln, damage_model, 0.99, 0.9)
+    finally:
+        CP.NB_BUCKET = old
+    diffs = [i for i in range(len(db))
+             if bytes(ora.seq_bytes(i)) != bytes(dev.seq_bytes(i))]
+    assert diffs == []
