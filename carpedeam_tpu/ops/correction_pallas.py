@@ -45,10 +45,24 @@ from ..constants import SMOOTHING_VALUE
 from ..damage import DamageModel, seq_error_profile
 from ..io.seqdb import SeqDB
 
-G = 32           # query slots per block
-REC_TILE = 256   # record slots per block
+G = 32           # query slots per block (plane width <= 128)
+REC_TILE = 256   # record slots per block (plane width <= 128)
 NB_BUCKET = 128  # block-count bucket (compile reuse across iterations)
-MAX_LEN_PALLAS = 512  # beyond this, fall back to the XLA kernel
+MAX_LEN_PALLAS = 2048  # beyond this, fall back to the XLA kernel
+
+
+def _tiles_for(max_len: int) -> tuple[int, int]:
+    """(query slots, record slots) per block, sized so the one-hot
+    scratch (REC_TILE x 11L bf16) and per-base counts (2G x 11L f32)
+    fit VMEM.  G >= 16 keeps every block's sublane dimension >= 8
+    (Mosaic tiling constraint), including the nibble-packed output."""
+    if max_len <= 128:
+        return 32, 256
+    if max_len <= 512:
+        return 32, 128
+    if max_len <= 1024:
+        return 16, 64
+    return 16, 32
 
 
 def _roll_rows_left(x, shift, width: int):
@@ -63,9 +77,19 @@ def _roll_rows_left(x, shift, width: int):
     return x
 
 
-def _correction_kernel(q_sym_ref, t_sym_ref, rscal_ref, rrow_ref,
-                       slot_sym_ref, qscal_ref, wtab_ref,
-                       packed_ref, onehot):
+def _make_correction_kernel(G: int):
+    def kernel(q_sym_ref, t_sym_ref, rscal_ref, rrow_ref,
+               slot_sym_ref, qscal_ref, wtab_ref,
+               packed_ref, onehot):
+        return _correction_kernel_body(
+            G, q_sym_ref, t_sym_ref, rscal_ref, rrow_ref, slot_sym_ref,
+            qscal_ref, wtab_ref, packed_ref, onehot)
+    return kernel
+
+
+def _correction_kernel_body(G, q_sym_ref, t_sym_ref, rscal_ref, rrow_ref,
+                            slot_sym_ref, qscal_ref, wtab_ref,
+                            packed_ref, onehot):
     R, L = q_sym_ref.shape
     q_sym = q_sym_ref[:].astype(jnp.int32)
     t_sym = t_sym_ref[:].astype(jnp.int32)
@@ -102,20 +126,14 @@ def _correction_kernel(q_sym_ref, t_sym_ref, rscal_ref, rrow_ref,
     layer = jnp.where(from_end >= 0, 6 + from_end, layer)
     cls = jnp.where(in_aln & keep, t_base * 11 + layer, 44)
 
-    # one-hot class planes, class-major: onehot[r, c*L + p]
-    for c in range(44):
-        onehot[:, c * L:(c + 1) * L] = (cls == c).astype(jnp.bfloat16)
-
-    # membership matmul: counts[0:G] = per-slot coverage,
-    # counts[G:2G] = reverse-orientation coverage
+    # membership matrix: rows [0,G) per-slot coverage, [G,2G) the
+    # reverse-orientation subset
     qslot = rrow_ref[0:1, :].astype(jnp.int32)
     is_rev = rrow_ref[1:2, :].astype(jnp.int32)
     gi = jax.lax.broadcasted_iota(jnp.int32, (2 * G, R), 0)
     m_all = (gi == qslot).astype(jnp.int32)
     m_rev = (((gi - G) == qslot) & (is_rev != 0)).astype(jnp.int32)
-    memb = jnp.where(gi < G, m_all, m_rev)
-    counts = jnp.dot(memb.astype(jnp.bfloat16), onehot[:],
-                     preferred_element_type=jnp.float32)  # (2G, 44*L)
+    memb = jnp.where(gi < G, m_all, m_rev).astype(jnp.bfloat16)
 
     # ---- fused Bayesian argmax over the G query slots ----
     qlen = qscal_ref[:, 0:1].astype(jnp.int32)
@@ -132,15 +150,28 @@ def _correction_kernel(q_sym_ref, t_sym_ref, rscal_ref, rrow_ref,
     own_end = posg - (qlen - 5)
     own_layer = jnp.where(own_end >= 0, 6 + own_end, own_layer)
 
-    base_cov = [jnp.zeros((G, L), jnp.float32) for _ in range(4)]
+    # one target base (11 damage layers) at a time: one-hot planes ->
+    # one MXU matmul -> immediate accumulation.  Bounds VMEM to 11L-wide
+    # scratch instead of 44L so long-contig shapes still fit.
+    base_cov = [None] * 4
     lik = [jnp.zeros((G, L), jnp.float32) for _ in range(4)]
-    for c in range(44):
-        Cc = counts[0:G, c * L:(c + 1) * L]
-        Rc = counts[G:2 * G, c * L:(c + 1) * L]
-        F = Cc - Rc
-        base_cov[c // 11] = base_cov[c // 11] + Cc
-        for q in range(4):
-            lik[q] = lik[q] + F * wtab_ref[c, q] + Rc * wtab_ref[c, 4 + q]
+    for t in range(4):
+        for l in range(11):
+            onehot[:, l * L:(l + 1) * L] = \
+                (cls == t * 11 + l).astype(jnp.bfloat16)
+        counts = jnp.dot(memb, onehot[:],
+                         preferred_element_type=jnp.float32)  # (2G, 11L)
+        cov_t = jnp.zeros((G, L), jnp.float32)
+        for l in range(11):
+            c = t * 11 + l
+            Cc = counts[0:G, l * L:(l + 1) * L]
+            Rc = counts[G:2 * G, l * L:(l + 1) * L]
+            F = Cc - Rc
+            cov_t = cov_t + Cc
+            for q in range(4):
+                lik[q] = lik[q] + F * wtab_ref[c, q] \
+                    + Rc * wtab_ref[c, 4 + q]
+        base_cov[t] = cov_t
     tot = base_cov[0] + base_cov[1] + base_cov[2] + base_cov[3]
 
     # candidate-base prior: damage table for original positions,
@@ -179,10 +210,13 @@ def _correction_kernel(q_sym_ref, t_sym_ref, rscal_ref, rrow_ref,
     packed_ref[:] = (v[0:G // 2, :] + 16 * v[G // 2:G, :]).astype(jnp.int8)
 
 
-@partial(jax.jit, static_argnames=("nb", "max_len", "interpret"))
+@partial(jax.jit, static_argnames=("nb", "max_len", "interpret", "g",
+                                   "rec_tile"))
 def _correction_pallas_device(sym2, rec_rows_q, rec_rows_t, rscal, rrow,
                               slot_qid, qscal, wtab,
-                              nb: int, max_len: int, interpret: bool):
+                              nb: int, max_len: int, interpret: bool,
+                              g: int = G, rec_tile: int = REC_TILE):
+    G_, REC_TILE_ = g, rec_tile
     q_sym = sym2[rec_rows_q].astype(jnp.int8)       # (nb*R, L) row gathers
     t_sym = sym2[rec_rows_t].astype(jnp.int8)
     slot_sym = sym2[slot_qid].astype(jnp.int8)      # (nb*G, L)
@@ -192,26 +226,28 @@ def _correction_pallas_device(sym2, rec_rows_q, rec_rows_t, rscal, rrow,
         return pl.BlockSpec(shape, lambda i: (i, 0), memory_space=mem)
 
     packed = pl.pallas_call(
-        _correction_kernel,
+        _make_correction_kernel(G_),
         grid=(nb,),
-        in_specs=[spec((REC_TILE, L)), spec((REC_TILE, L)),
-                  spec((REC_TILE, 8)), spec((8, REC_TILE)),
-                  spec((G, L)), spec((G, 8)),
+        in_specs=[spec((REC_TILE_, L)), spec((REC_TILE_, L)),
+                  spec((REC_TILE_, 8)), spec((8, REC_TILE_)),
+                  spec((G_, L)), spec((G_, 8)),
                   pl.BlockSpec((48, 16), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)],
-        out_specs=spec((G // 2, L)),
-        out_shape=jax.ShapeDtypeStruct((nb * G // 2, L), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((REC_TILE, 44 * L), jnp.bfloat16)],
+        out_specs=spec((G_ // 2, L)),
+        out_shape=jax.ShapeDtypeStruct((nb * G_ // 2, L), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((REC_TILE_, 11 * L), jnp.bfloat16)],
         interpret=interpret,
     )(q_sym, t_sym, rscal, rrow, slot_sym, qscal, wtab)
     return packed
 
 
-def build_correction_blocks(rec, lengths, n_seqs):
-    """Pack queries (with their surviving records) into (G, REC_TILE)
-    blocks.  Returns None if any single query owns more than REC_TILE
+def build_correction_blocks(rec, lengths, n_seqs, g: int = G,
+                            rec_tile: int = REC_TILE):
+    """Pack queries (with their surviving records) into (g, rec_tile)
+    blocks.  Returns None if any single query owns more than rec_tile
     records (caller falls back to the XLA kernel)."""
     from ..utils import bucket
+    G, REC_TILE = g, rec_tile
 
     keep = rec["rec_keep_pre"]
     idx = np.nonzero(keep)[0]
@@ -279,13 +315,20 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
             int(seqdb.lengths.max()) if len(seqdb) else 1))
     n = len(seqdb)
     max_len = planes["sym"].shape[1]
-    if max_len > MAX_LEN_PALLAS:
-        return correction_tpu(seqdb, aln, damage, corr_reads_ry_seq_id,
-                              seq_id_thr, planes=planes, lengths=lengths)
+    if max_len > 512:
+        # long-sequence phases are coverage-sparse (contigs are excluded
+        # as targets): the vectorised host oracle beats the padded device
+        # plane there (measured 0.24s vs 1.3s on the example's contig
+        # phase; the kernel itself stays exact up to MAX_LEN_PALLAS)
+        from ..stages.correction import correction as correction_host
+        return correction_host(seqdb, aln, damage, corr_reads_ry_seq_id,
+                               seq_id_thr)
 
+    G, REC_TILE = _tiles_for(max_len)
     rec = prepare_correction_inputs(seqdb, aln, n, corr_reads_ry_seq_id,
                                     seq_id_thr)
-    blocks = build_correction_blocks(rec, lengths, n)
+    blocks = build_correction_blocks(rec, lengths, n, g=G,
+                                     rec_tile=REC_TILE)
     if blocks is None:
         return correction_tpu(seqdb, aln, damage, corr_reads_ry_seq_id,
                               seq_id_thr, planes=planes, lengths=lengths)
@@ -326,7 +369,8 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
         rscal, rrow.reshape(nb * 8, REC_TILE),
         blocks["slot_qid"], qscal, wtab,
         nb=nb, max_len=max_len,
-        interpret=jax.default_backend() == "cpu"))
+        interpret=jax.default_backend() == "cpu",
+        g=G, rec_tile=REC_TILE))
 
     # host epilogue (vectorised): passthrough by default, corrected where
     # the packed coverage bit is set

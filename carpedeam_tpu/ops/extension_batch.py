@@ -207,8 +207,72 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
             "max_right": max_right}
 
 
+def _pass_b_identity_host(seqdb, qid, tid, is_rev, qs, ts, win):
+    """Chunked NumPy pass-B identity counts (exact raw-char semantics)."""
+    from ..constants import CHAR_REVCOMP
+    data = seqdb.data
+    offsets = seqdb.offsets
+    rc_flat = CHAR_REVCOMP[data]
+    ry_flat = CHAR_TO_RY[data]
+    ry_rc_flat = CHAR_TO_RY[rc_flat]
+    tlen = seqdb.lengths[tid]
+    n_rec = len(qid)
+    max_len = int(win.max()) if n_rec else 1
+    pos = np.arange(max_len, dtype=np.int64)[None, :]
+    idc = np.zeros(n_rec, dtype=np.int64)
+    ryc = np.zeros(n_rec, dtype=np.int64)
+    chunk = _chunk_for(max_len)
+    for c0 in range(0, n_rec, chunk):
+        sl = slice(c0, min(c0 + chunk, n_rec))
+        qoff, toff = offsets[qid[sl]], offsets[tid[sl]]
+        tlr, rev = tlen[sl], is_rev[sl]
+        in_win = pos < win[sl][:, None]
+        qg = np.clip(qoff[:, None] + qs[sl][:, None] + pos, 0, len(data) - 1)
+        tp = ts[sl][:, None] + pos
+        fwd_idx = np.clip(toff[:, None] + tp, 0, len(data) - 1)
+        rev_idx = np.clip(toff[:, None] + tlr[:, None] - 1 - tp,
+                          0, len(data) - 1)
+        tch = np.where(rev[:, None], rc_flat[rev_idx], data[fwd_idx])
+        tr_ry = np.where(rev[:, None], ry_rc_flat[rev_idx],
+                         ry_flat[fwd_idx])
+        idc[sl] = ((data[qg] == tch) & in_win).sum(axis=1)
+        ryc[sl] = ((ry_flat[qg] == tr_ry) & in_win).sum(axis=1)
+    return idc, ryc
+
+
+def _pass_b_identity(seqdb, qid, tid, is_rev, qs, ts, win, planes=None):
+    """Pass-B identity counts: Pallas kernel on an accelerator backend
+    (records touching non-uppercase-ACGT sequences are recomputed on the
+    host for exact char semantics), NumPy otherwise."""
+    from ..utils import device_is_tpu
+    n_rec = len(qid)
+    if n_rec and device_is_tpu():
+        from .window_pallas import (MAX_LEN_WINDOW_PALLAS,
+                                    has_non_acgt_flags,
+                                    window_identity_pallas)
+        if planes is None:
+            from ..utils import bucket_len
+            from .rescore_tpu import pack_sequences
+            import jax
+            planes, _ = pack_sequences(seqdb, max_len=bucket_len(
+                int(seqdb.lengths.max())))
+            planes = {k: jax.device_put(v) for k, v in planes.items()}
+        if planes["sym"].shape[1] <= MAX_LEN_WINDOW_PALLAS:
+            idc, ryc = window_identity_pallas(
+                planes, len(seqdb), qid, tid, is_rev, qs, ts, win)
+            flags = has_non_acgt_flags(seqdb)
+            fix = np.nonzero(flags[qid] | flags[tid])[0]
+            if len(fix):
+                idc[fix], ryc[fix] = _pass_b_identity_host(
+                    seqdb, qid[fix], tid[fix], is_rev[fix], qs[fix],
+                    ts[fix], win[fix])
+            return idc, ryc
+    return _pass_b_identity_host(seqdb, qid, tid, is_rev, qs, ts, win)
+
+
 def batch_contig_scoring(seqdb, aln, damage, merge_seq_id_thr: float,
-                         ry_seq_id_thr: float) -> dict:
+                         ry_seq_id_thr: float, planes=None,
+                         lengths=None) -> dict:
     """Batched initial pass of ancient_contig_merge (safe mode): strand
     canonicalisation, pass-B identities, consensus update (consensus ==
     query) and the damage-discounted `ancientMatchCount`, for every
@@ -257,50 +321,35 @@ def batch_contig_scoring(seqdb, aln, damage, merge_seq_id_thr: float,
     lik5_f = damage.fwd[5]
     lik5_r = damage.rev[5]
 
+    # pass B over ALL records in one shot (device kernel when available)
+    win_all = qe - qs + 1
+    idc_all, ryc_all = _pass_b_identity(seqdb, qid, tid, is_rev, qs, ts,
+                                        win_all, planes)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        seq_id = (idc_all.astype(np.float32)
+                  / alen.astype(np.float32)).astype(np.float64)
+        ry_seq_id = (ryc_all.astype(np.float32)
+                     / alen.astype(np.float32)).astype(np.float64)
+    cand = (seq_id.astype(np.float32) >= np.float32(merge_seq_id_thr)) \
+        & (ry_seq_id.astype(np.float32) >= np.float32(ry_seq_id_thr)) \
+        & not_identity
+
+    # consensus + ancientMatchCount only for the (few) candidates
+    cand_idx = np.nonzero(cand)[0]
     chunk = _chunk_for(max_len)
-    for c0 in range(0, n_rec, chunk):
-        r = np.arange(c0, min(c0 + chunk, n_rec))
-        qsr, qer, tsr, ter = qs[r], qe[r], ts[r], te[r]
-        alr, tlr, qlr = alen[r], tlen[r], qlen[r]
-        rev = is_rev[r]
-        qoff, toff = offsets[qid[r]], offsets[tid[r]]
-        win = qer - qsr + 1
-
-        # canonical target char at position p: fwd -> data[toff+p],
-        # rev -> revcomp(data)[toff + tlen-1-p]
-        def t_gather(flat, rc_version, p_idx):
-            fwd_idx = np.clip(toff[:, None] + p_idx, 0, len(data) - 1)
-            rev_idx = np.clip(toff[:, None] + tlr[:, None] - 1 - p_idx,
-                              0, len(data) - 1)
-            return np.where(rev[:, None], rc_version[rev_idx], flat[fwd_idx])
-
-        # pass B: seqId / ry over [qs, qe] vs t[ts...]
-        in_win = pos < win[:, None]
-        qg = np.clip(qoff[:, None] + qsr[:, None] + pos, 0, len(data) - 1)
-        tp = tsr[:, None] + pos
-        tch = t_gather(data, rc_flat, tp)
-        tr_ry = t_gather(ry_flat, ry_rc_flat, tp)
-        idc = ((data[qg] == tch) & in_win).sum(axis=1)
-        ryc = ((ry_flat[qg] == tr_ry) & in_win).sum(axis=1)
-        sid_b = (idc.astype(np.float32)
-                 / alr.astype(np.float32)).astype(np.float64)
-        ry_b = (ryc.astype(np.float32)
-                / alr.astype(np.float32)).astype(np.float64)
-        ok = (sid_b.astype(np.float32) >= np.float32(merge_seq_id_thr)) \
-            & (ry_b.astype(np.float32) >= np.float32(ry_seq_id_thr)) \
-            & not_identity[r]
-        cand[r] = ok
-        seq_id[r] = sid_b
-        ry_seq_id[r] = ry_b
-
-        rc_i = np.nonzero(ok)[0]
-        if not len(rc_i):
-            continue
-        rr = r[rc_i]
+    for c0 in range(0, len(cand_idx), chunk):
+        rr = cand_idx[c0:c0 + chunk]
         qsr, qer, tsr, ter = qs[rr], qe[rr], ts[rr], te[rr]
         alr, tlr, qlr = alen[rr], tlen[rr], qlen[rr]
         rev = is_rev[rr]
         qoff, toff = offsets[qid[rr]], offsets[tid[rr]]
+
+        def t_gather(flat, rc_version, p_idx):
+            fwd_idx = np.clip(toff[:, None] + p_idx, 0, len(data) - 1)
+            rev_idx = np.clip(toff[:, None] + tlr[:, None] - 1 - p_idx,
+                              0, len(data) - 1)
+            return np.where(rev[:, None], rc_version[rev_idx],
+                            flat[fwd_idx])
 
         # consensus update (safe: consensus == query in middle third)
         right_c = (tsr == 0) & (qer == qlr - 1)

@@ -37,6 +37,19 @@ from jax.experimental.pallas import tpu as pltpu
 PAIR_BLOCK = 256
 
 
+def _pair_block(max_len: int) -> int:
+    """Pairs per grid step, bounded by VMEM (the kernel keeps ~8 int32
+    (B, L) intermediates live; wide contig shapes need smaller blocks or
+    Mosaic spills to HBM)."""
+    if max_len <= 512:
+        return PAIR_BLOCK
+    if max_len <= 1024:
+        return 128
+    if max_len <= 2048:
+        return 64
+    return 32
+
+
 def _roll_rows_left(x, shift, n_bits: int, width: int):
     """Rotate each row of x (B, L) left by shift (B, 1) in [0, width).
 
@@ -142,7 +155,8 @@ def rescore_pairs_pallas(code2, sym2, lengths, qidx, tidx, diag16, is_rev,
     count to be a multiple of PAIR_BLOCK (bucket_pairs guarantees this).
     """
     n_pairs = qidx.shape[0]
-    assert n_pairs % PAIR_BLOCK == 0, n_pairs
+    B = _pair_block(max_len)
+    assert n_pairs % B == 0, n_pairs
     assert max_len % 128 == 0, max_len
     n_seqs = lengths.shape[0]
     qlen = lengths[qidx].astype(jnp.int32)
@@ -159,7 +173,6 @@ def rescore_pairs_pallas(code2, sym2, lengths, qidx, tidx, diag16, is_rev,
         [diag_u[:, None], qlen[:, None], tlen[:, None],
          jnp.zeros((n_pairs, 5), jnp.int32)], axis=1)
 
-    B = PAIR_BLOCK
     plane_spec = pl.BlockSpec((B, max_len), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
     packed = pl.pallas_call(
@@ -201,13 +214,20 @@ def rescorediagonal_pallas(seqdb, pref, seq_id_thr, eval_thr=0.001,
                            aln_len_thr=0, planes=None, lengths=None):
     """Pallas drop-in for stages.rescorediagonal.rescorediagonal (same
     host-side assembly/filter path as ops.rescore_tpu.rescorediagonal_tpu)."""
-    from ..stages.rescorediagonal import assemble_alndb
+    from ..stages.rescorediagonal import assemble_alndb, rescorediagonal
     from ..utils import bucket_len, bucket_pairs
     from .rescore_tpu import pack_sequences
 
+    max_len_db = bucket_len(int(seqdb.lengths.max()) if len(seqdb) else 1)
+    if max_len_db > 512:
+        # sparse long-sequence phases (few candidate pairs, mostly-short
+        # reads padded to contig width) run faster on the native host
+        # scorer, which works on true overlap lengths (measured 0.06s vs
+        # 1.3s on the example's contig phase)
+        return rescorediagonal(seqdb, pref, seq_id_thr, eval_thr,
+                               aln_len_thr)
     if planes is None:
-        planes, lengths = pack_sequences(seqdb, max_len=bucket_len(
-            int(seqdb.lengths.max()) if len(seqdb) else 1))
+        planes, lengths = pack_sequences(seqdb, max_len=max_len_db)
     keymap = seqdb.key_id_map()
     n = len(pref.qkey)
     np_pad = bucket_pairs(n)

@@ -44,13 +44,20 @@ def pack_sequences(seqdb, max_len=None):
     n = len(seqdb)
     if max_len is None:
         max_len = int(seqdb.lengths.max()) if n else 1
+    lengths = seqdb.lengths.astype(np.int64)
+    offsets = seqdb.offsets.astype(np.int64)
     sym = np.zeros((n, max_len), dtype=np.uint8)
     sym_rc = np.zeros((n, max_len), dtype=np.uint8)
-    for i in range(n):
-        L = int(seqdb.lengths[i])
-        raw = seqdb.seq_bytes(i)
-        sym[i, :L] = _UPPER[raw]
-        sym_rc[i, :L] = _UPPER[_CHAR_REVCOMP_X[raw][::-1]]
+    if n:
+        # vectorised CSR -> padded: rows/cols of every real base at once
+        pos = np.arange(max_len, dtype=np.int64)
+        mask = pos[None, :] < lengths[:, None]
+        rows, cols = np.nonzero(mask)
+        flat = offsets[rows] + cols
+        sym[rows, cols] = _UPPER[seqdb.data[flat]]
+        # reverse complement, row-reversed: position x reads base L-1-x
+        flat_rc = offsets[rows] + (lengths[rows] - 1 - cols)
+        sym_rc[rows, cols] = _UPPER[_CHAR_REVCOMP_X[seqdb.data[flat_rc]]]
     code = CHAR_TO_CODE[sym]
     code_rc = CHAR_TO_CODE[sym_rc]
     planes = {"code": np.concatenate([code, code_rc]),

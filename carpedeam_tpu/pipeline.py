@@ -111,8 +111,12 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
 
         from .ops.rescore_tpu import pack_sequences
         from .utils import bucket_len
-        planes, lengths = pack_sequences(db, max_len=bucket_len(
-            int(db.lengths.max())))
+        max_len = bucket_len(int(db.lengths.max()))
+        if max_len > 512:
+            # the device stages route wide sparse phases to the host
+            # implementations, which don't use the planes
+            return {}
+        planes, lengths = pack_sequences(db, max_len=max_len)
         planes = {k: jax.device_put(v) for k, v in planes.items()}
         return {"planes": planes, "lengths": lengths}
     from .utils import StageTimer
