@@ -31,11 +31,13 @@ def cpp_truncate_seqid(seq_id) -> np.ndarray:
 
 
 def cpp_eval_roundtrip(eval_) -> np.ndarray:
-    """Serialise-then-parse of the e-value through "%.3E" (vectorised:
-    numpy C-level formatting instead of a Python loop)."""
+    """Serialise-then-parse of the e-value through "%.3E".  E-values are
+    computed from a few thousand distinct (score, qlen) pairs, so format
+    only the unique values and scatter back."""
     e = np.atleast_1d(np.asarray(eval_, dtype=np.float64))
-    txt = np.char.mod("%.3E", e.ravel())
-    return txt.astype(np.float64).reshape(e.shape)
+    uniq, inv = np.unique(e.ravel(), return_inverse=True)
+    txt = np.char.mod("%.3E", uniq)
+    return txt.astype(np.float64)[inv].reshape(e.shape)
 
 
 @dataclass

@@ -423,8 +423,10 @@ def kmermatcher(seqdb: SeqDB, k: int, kmers_per_sequence: int,
                                          max_block_residues=max_block_residues)
     # sort by (kmer|b63 asc, seqLen desc, id asc, pos asc)  (:409-415)
     if device_sort is None:
-        from ..utils import device_is_tpu
-        device_sort = device_is_tpu() and len(ent["kmer"]) >= (1 << 22)
+        # measured on the tunnelled TPU backend: the 6-key lax.sort pays
+        # a ~5min compile and a D2H pull that dwarf the host lexsort even
+        # at 7M+ entries; keep the device sort opt-in
+        device_sort = False
     if device_sort:
         order = sort_kmer_entries_device(ent)
     else:

@@ -256,8 +256,14 @@ def build_correction_blocks(rec, lengths, n_seqs, g: int = G,
     idx = idx[order]
     q = q[order]
     uq, starts, cnts = np.unique(q, return_index=True, return_counts=True)
-    if len(cnts) and cnts.max() > REC_TILE:
-        return None
+    heavy_qids = uq[cnts > REC_TILE]
+    if len(heavy_qids):
+        light = cnts <= REC_TILE
+        keep_rec = np.isin(q, uq[light])
+        idx = idx[keep_rec]
+        q = q[keep_rec]
+        uq, starts, cnts = uq[light], None, cnts[light]
+        starts = np.concatenate([[0], np.cumsum(cnts)])[:-1]
     nq = len(uq)
     nrec = len(q)
     cum = np.concatenate([[0], np.cumsum(cnts)])
@@ -298,7 +304,8 @@ def build_correction_blocks(rec, lengths, n_seqs, g: int = G,
     slot_valid[slot_pos] = True
     sel = idx[rec_sel]  # indices into the original record arrays
     return {"nb": nb, "sel": sel, "use": rec_use,
-            "qslot": qslot, "slot_qid": slot_qid, "slot_valid": slot_valid}
+            "qslot": qslot, "slot_qid": slot_qid,
+            "slot_valid": slot_valid, "heavy_qids": heavy_qids}
 
 
 def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
@@ -329,9 +336,6 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
                                     seq_id_thr)
     blocks = build_correction_blocks(rec, lengths, n, g=G,
                                      rec_tile=REC_TILE)
-    if blocks is None:
-        return correction_tpu(seqdb, aln, damage, corr_reads_ry_seq_id,
-                              seq_id_thr, planes=planes, lengths=lengths)
     nb = blocks["nb"]
     sel, use = blocks["sel"], blocks["use"]
 
@@ -390,6 +394,32 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
     rows, cols = np.nonzero(m)
     flat_idx = offsets[qids[rows]] + cols
     out_flat[flat_idx] = acgt[pv[rows, cols] & 3]
+
+    # queries whose record stacks exceed the block's record tile run
+    # through the per-query host oracle (they are rare: deep-coverage
+    # stacks; exact by construction)
+    heavy = blocks["heavy_qids"]
+    if len(heavy):
+        from ..aligndb import AlnDB
+        from ..stages.correction import correction_per_query
+        key2qi = {int(k): i for i, k in enumerate(aln.qkeys)}
+        sel_q = [key2qi[int(seqdb.keys[qid])] for qid in heavy
+                 if int(seqdb.keys[qid]) in key2qi]
+        row_idx = np.concatenate(
+            [np.arange(aln.starts[qi], aln.starts[qi + 1])
+             for qi in sel_q]) if sel_q else np.zeros(0, np.int64)
+        grp = np.array([aln.starts[qi + 1] - aln.starts[qi]
+                        for qi in sel_q], dtype=np.int64)
+        aln_h = AlnDB.from_arrays(
+            aln.qkey[row_idx], aln.qkeys[sel_q],
+            np.concatenate([[0], np.cumsum(grp)]),
+            **{k_: v[row_idx] for k_, v in aln.cols.items()})
+        corr_h = correction_per_query(seqdb, aln_h, damage,
+                                      corr_reads_ry_seq_id, seq_id_thr)
+        for qid in heavy:
+            o = offsets[qid]
+            Lq = int(seqdb.lengths[qid])
+            out_flat[o:o + Lq] = corr_h.seq_bytes(int(qid))
     return SeqDB.from_flat(out_flat, seqdb.lengths.copy(),
                            keys=seqdb.keys.copy(), ext=seqdb.ext.copy(),
                            headers=seqdb.headers)

@@ -138,3 +138,23 @@ def test_correction_pallas_matches_oracle(small_world, damage_model):
     diffs = [i for i in range(len(db))
              if bytes(ora.seq_bytes(i)) != bytes(dev.seq_bytes(i))]
     assert diffs == []
+
+
+def test_correction_pallas_heavy_queries_host_fallback(small_world,
+                                                       damage_model):
+    """Queries with more records than the block's record tile must be
+    routed to the per-query host oracle and still match it exactly."""
+    import carpedeam_tpu.ops.correction_pallas as CP
+
+    db, _, aln = small_world
+    ora = correction(db, aln, damage_model, 0.99, 0.9)
+    old_nb, old_tiles = CP.NB_BUCKET, CP._tiles_for
+    CP.NB_BUCKET = 4
+    CP._tiles_for = lambda L: (8, 8)   # force many heavy queries
+    try:
+        dev = CP.correction_pallas(db, aln, damage_model, 0.99, 0.9)
+    finally:
+        CP.NB_BUCKET, CP._tiles_for = old_nb, old_tiles
+    diffs = [i for i in range(len(db))
+             if bytes(ora.seq_bytes(i)) != bytes(dev.seq_bytes(i))]
+    assert diffs == []
