@@ -51,11 +51,28 @@ class SeqDB:
 
     def key_id_map(self) -> np.ndarray:
         """Vectorised key->row lookup table (keys are small ints); use
-        `m[keys]` instead of a per-record dict lookup loop."""
+        `m[keys]` instead of a per-record dict lookup loop.  Lookups of
+        keys absent from the DB must be validated by the caller (or use
+        `lookup_keys`, which raises)."""
         m = np.full(int(self.keys.max()) + 1 if len(self.keys) else 1, -1,
                     dtype=np.int64)
         m[self.keys.astype(np.int64)] = np.arange(len(self.keys))
         return m
+
+    def lookup_keys(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorised key->row lookup that raises KeyError on any stale
+        key (a -1 from key_id_map would otherwise silently index the last
+        row)."""
+        keys = np.asarray(keys, dtype=np.int64)
+        m = self.key_id_map()
+        if len(keys) and (keys.max() >= len(m) or keys.min() < 0):
+            bad = keys[(keys >= len(m)) | (keys < 0)]
+            raise KeyError(f"keys not in SeqDB: {bad[:5].tolist()}...")
+        rows = m[keys]
+        if (rows < 0).any():
+            bad = keys[rows < 0]
+            raise KeyError(f"keys not in SeqDB: {bad[:5].tolist()}...")
+        return rows
 
     @property
     def total_residues(self) -> int:

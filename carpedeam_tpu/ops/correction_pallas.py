@@ -251,6 +251,10 @@ def build_correction_blocks(rec, lengths, n_seqs, g: int = G,
 
     keep = rec["rec_keep_pre"]
     idx = np.nonzero(keep)[0]
+    if len(idx) == 0:
+        # nothing survived the pre-filters (empty AlnDB, or e.g. a
+        # contig-phase where every target has ext=True): no blocks
+        return None
     q = rec["rec_q"][idx]
     order = np.argsort(q, kind="stable")
     idx = idx[order]
@@ -265,6 +269,9 @@ def build_correction_blocks(rec, lengths, n_seqs, g: int = G,
         uq, starts, cnts = uq[light], None, cnts[light]
         starts = np.concatenate([[0], np.cumsum(cnts)])[:-1]
     nq = len(uq)
+    if nq == 0:
+        # only heavy stacks remain: the host oracle handles the whole DB
+        return None
     nrec = len(q)
     cum = np.concatenate([[0], np.cumsum(cnts)])
 
@@ -336,6 +343,12 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
                                     seq_id_thr)
     blocks = build_correction_blocks(rec, lengths, n, g=G,
                                      rec_tile=REC_TILE)
+    if blocks is None:
+        # no packable query blocks (empty alignment / all filtered / only
+        # heavy stacks): the vectorised host oracle is exact and cheap here
+        from ..stages.correction import correction as correction_host
+        return correction_host(seqdb, aln, damage, corr_reads_ry_seq_id,
+                               seq_id_thr)
     nb = blocks["nb"]
     sel, use = blocks["sel"], blocks["use"]
 

@@ -158,10 +158,9 @@ def prepare_correction_inputs(seqdb: SeqDB, aln: AlnDB, sym2_shape_n: int,
     per-record arrays for correction_device.  Mirrors stages/correction.py's
     filtering exactly (terminal/avCov gates, contig exclusion, seqId and
     alnLen gates; the RY gate runs on device)."""
-    keymap = seqdb.key_id_map()
     n = len(aln.qkey)
-    qid = keymap[aln.qkey.astype(np.int64)]
-    tid = keymap[aln.cols["tkey"].astype(np.int64)]
+    qid = seqdb.lookup_keys(aln.qkey)
+    tid = seqdb.lookup_keys(aln.cols["tkey"])
     qs = aln.cols["qstart"].astype(np.int64).copy()
     qe = aln.cols["qend"].astype(np.int64).copy()
     ts = aln.cols["dbstart"].astype(np.int64).copy()

@@ -228,15 +228,14 @@ def rescorediagonal_pallas(seqdb, pref, seq_id_thr, eval_thr=0.001,
                                aln_len_thr)
     if planes is None:
         planes, lengths = pack_sequences(seqdb, max_len=max_len_db)
-    keymap = seqdb.key_id_map()
     n = len(pref.qkey)
     np_pad = bucket_pairs(n)
     qidx = np.zeros(np_pad, dtype=np.int32)
     tidx = np.zeros(np_pad, dtype=np.int32)
     diag = np.zeros(np_pad, dtype=np.int32)
     is_rev = np.zeros(np_pad, dtype=bool)
-    qidx[:n] = keymap[pref.qkey.astype(np.int64)]
-    tidx[:n] = keymap[pref.tkey.astype(np.int64)]
+    qidx[:n] = seqdb.lookup_keys(pref.qkey)
+    tidx[:n] = seqdb.lookup_keys(pref.tkey)
     diag[:n] = pref.diag
     is_rev[:n] = pref.score < 0
     out = rescore_pairs_pallas(planes["code"], planes["sym"],

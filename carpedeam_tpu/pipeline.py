@@ -67,11 +67,13 @@ def _pick_stage_impls(params: Params):
     single device with the Pallas rescoring kernel (TPU-optimal: the
     window extraction runs as vectorised lane rotations instead of XLA
     gathers), "mesh" shard_map over all local devices, "auto" = "pallas"
-    on an accelerator backend else "0"."""
+    on TPU, "1" on other accelerators (the Pallas kernels use pltpu
+    memory spaces and only run interpreted on CPU), else "0"."""
     use = params.use_device
     if use == "auto":
-        from .utils import device_is_tpu
-        use = "pallas" if device_is_tpu() else "0"
+        from .utils import device_is_accelerator, device_is_tpu
+        use = ("pallas" if device_is_tpu()
+               else "1" if device_is_accelerator() else "0")
     if use == "mesh":
         import jax
 

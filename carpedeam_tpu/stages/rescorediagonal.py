@@ -163,10 +163,9 @@ def assemble_alndb(seqdb: SeqDB, pref: PrefDB, raw: dict, seq_id_thr: float,
                    eval_thr: float, aln_len_thr: int) -> AlnDB:
     """Statistics + filters + per-query record assembly over the raw
     per-pair scoring arrays (from the NumPy or device scorer)."""
-    keymap = seqdb.key_id_map()
     db_res = seqdb.total_residues
-    qid = keymap[pref.qkey.astype(np.int64)]
-    tid = keymap[pref.tkey.astype(np.int64)]
+    qid = seqdb.lookup_keys(pref.qkey)
+    tid = seqdb.lookup_keys(pref.tkey)
     is_rev = pref.score < 0
     best_score = raw["score"].astype(np.int64)
     qstart = raw["qstart"].astype(np.int64)

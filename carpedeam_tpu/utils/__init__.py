@@ -36,8 +36,19 @@ def bucket_len(n: int) -> int:
 
 
 def device_is_tpu() -> bool:
-    """True when the default JAX backend is an accelerator worth paying
-    dispatch overhead for (not the host CPU)."""
+    """True when the default JAX backend is a real TPU: the Pallas kernels
+    use pltpu memory spaces (interpret mode only on CPU) and would crash
+    at launch on other accelerators."""
+    import jax
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def device_is_accelerator() -> bool:
+    """True when the default JAX backend is any accelerator worth paying
+    dispatch overhead for (the XLA kernel paths run on all backends)."""
     import jax
     try:
         return jax.default_backend() not in ("cpu",)

@@ -158,3 +158,38 @@ def test_correction_pallas_heavy_queries_host_fallback(small_world,
     diffs = [i for i in range(len(db))
              if bytes(ora.seq_bytes(i)) != bytes(dev.seq_bytes(i))]
     assert diffs == []
+
+
+def test_correction_pallas_empty_alignment(small_world, damage_model):
+    """Regression (ADVICE r1, high): zero surviving records (empty AlnDB)
+    crashed build_correction_blocks with an IndexError; must pass through
+    every sequence unchanged like the host/XLA paths."""
+    from carpedeam_tpu.aligndb import AlnDB
+    from carpedeam_tpu.ops.correction_pallas import correction_pallas
+
+    db, _, _ = small_world
+    empty = AlnDB.from_arrays(
+        qkey=np.zeros(0, np.uint32), qkeys=np.zeros(0, np.uint32),
+        starts=np.zeros(1, np.int64),
+        **{name: np.zeros(0) for name in
+           ("tkey", "score", "seq_id", "eval", "qstart", "qend",
+            "qlen", "dbstart", "dbend", "dblen")})
+    out = correction_pallas(db, empty, damage_model, 0.99, 0.9)
+    assert len(out) == len(db)
+    for i in range(len(db)):
+        assert bytes(out.seq_bytes(i)) == bytes(db.seq_bytes(i))
+
+
+def test_lookup_keys_raises_on_stale_key(example_reads):
+    """Regression (ADVICE r1, low): stale keys must raise instead of
+    silently resolving to the last row via key_id_map's -1 sentinel."""
+    db = example_reads.select(np.arange(10))
+    rows = db.lookup_keys(db.keys[:5])
+    assert np.array_equal(rows, np.arange(5))
+    stale = np.array([int(db.keys.max()) + 999], dtype=np.int64)
+    with pytest.raises(KeyError):
+        db.lookup_keys(stale)
+    missing_mid = np.array([int(example_reads.keys[500])], dtype=np.int64)
+    if missing_mid[0] not in set(db.keys.tolist()):
+        with pytest.raises(KeyError):
+            db.lookup_keys(missing_mid)
