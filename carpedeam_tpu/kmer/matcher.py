@@ -142,6 +142,18 @@ def extract_selected_kmers_batched(seqdb: SeqDB, k: int,
         return {k_: np.zeros(0, dt) for k_, dt in
                 (("kmer", np.uint64), ("id", np.int64), ("pos", np.int32),
                  ("seq_len", np.int32), ("h16", np.uint16))}
+
+    # ---- native fast path: extraction + canonicalisation + hashing +
+    # per-sequence sort + selection walk in one C++ pass ------------------
+    out = native.kmer_extract(seqdb.data, seqdb.offsets, seqdb.lengths,
+                              k, hash_shift, kmers_per_sequence,
+                              kmers_per_sequence_scale)
+    if out is not None:
+        if hash_range is not None:
+            lo, hi = hash_range
+            m = (out["h16"] >= lo) & (out["h16"] <= hi)
+            out = {k_: v[m] for k_, v in out.items()}
+        return out
     codes_flat = CHAR_TO_CODE[seqdb.data]
     offsets = seqdb.offsets
     lengths = seqdb.lengths
@@ -430,9 +442,13 @@ def kmermatcher(seqdb: SeqDB, k: int, kmers_per_sequence: int,
     if device_sort:
         order = sort_kmer_entries_device(ent)
     else:
-        order = np.lexsort((ent["pos"], ent["id"],
-                            -ent["seq_len"].astype(np.int64),
-                            ent["kmer"] | BIT63))
+        from .. import native
+        order = native.sort_kmer_entries(ent["kmer"], ent["id"], ent["pos"],
+                                         ent["seq_len"])
+        if order is None:
+            order = np.lexsort((ent["pos"], ent["id"],
+                                -ent["seq_len"].astype(np.int64),
+                                ent["kmer"] | BIT63))
     kmer = ent["kmer"][order]
     ids = ent["id"][order]
     pos = ent["pos"][order]

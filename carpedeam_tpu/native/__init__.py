@@ -19,7 +19,7 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["kmer_select.cpp", "host_kernels.cpp"]
+_SOURCES = ["kmer_select.cpp", "host_kernels.cpp", "prepass.cpp"]
 _LOCK = threading.Lock()
 _LIB = None
 _BUILD_FAILED = False
@@ -88,6 +88,34 @@ def get_lib():
                                         _u32p, _u32p, _i32p, _i32p,
                                         _i64p, _i64p, _i64p]
         lib.build_pref_scan.restype = ctypes.c_int64
+        _f32 = ctypes.c_float
+        _f64p = ctypes.POINTER(ctypes.c_double)
+        lib.contig_prepass.argtypes = [
+            _u8p, _i64p, _i64p, ctypes.c_int64,
+            _i32p, _i32p, _u8p, _i32p, _i32p, _i32p, _i32p, _i32p,
+            _u8p, ctypes.c_int64, _f32, _f32, _f64p, _f64p,
+            _i64p, _i64p, _u8p, _f64p, _f64p, _i64p, _f64p]
+        lib.contig_prepass.restype = None
+        lib.read_prepass.argtypes = [
+            _u8p, _i64p, _i64p, ctypes.c_int64,
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+            _u8p, _u8p, ctypes.c_int64, _f32, _f64p,
+            _i64p, _i64p, _u8p, _f64p, _f64p,
+            _i64p, _u8p, _u8p, _f64p, _i64p]
+        lib.read_prepass.restype = None
+        lib.correction_groups.argtypes = [
+            _u8p, _i64p, _i64p, _u8p, ctypes.c_int64,
+            _i64p, _i32p, _i32p, _u8p, _i32p, _i32p, _i32p, _u8p, _i32p,
+            _f64p, _f64p, _f64p, _u8p]
+        lib.correction_groups.restype = None
+        lib.kmer_extract.argtypes = [
+            _u8p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint64, ctypes.c_int64, _f32, _i64p,
+            _u64p, _i32p, _u16p, _i64p]
+        lib.kmer_extract.restype = None
+        lib.sort_kmer_entries.argtypes = [_u64p, _i64p, _i32p, _i32p,
+                                          ctypes.c_int64, _i64p]
+        lib.sort_kmer_entries.restype = None
         _LIB = lib
         return _LIB
 
@@ -195,3 +223,168 @@ def correction_accumulate(data, offsets, lengths, rec_q, rec_t, rec_is_rev,
         counts.ctypes.data_as(_i32p), rev_counts.ctypes.data_as(_i32p))
     return (counts.reshape(total_len, 4, 11),
             rev_counts.reshape(total_len, 4, 11))
+
+
+def contig_prepass(data, offsets, lengths, qid, tid, is_rev, qs, qe, ts, te,
+                   alen, not_identity, merge_thr: float,
+                   ry_thr: float, lik5_f, lik5_r) -> dict | None:
+    """Per-record contig-merge pre-pass (pass-B identities, candidate gate,
+    consensus update, ancientMatchCount); returns arrays dict or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(qid)
+    _f64p = ctypes.POINTER(ctypes.c_double)
+    out = {
+        "idc": np.zeros(n, dtype=np.int64),
+        "ryc": np.zeros(n, dtype=np.int64),
+        "cand": np.zeros(n, dtype=np.uint8),
+        "seq_id": np.zeros(n, dtype=np.float64),
+        "ry_seq_id": np.zeros(n, dtype=np.float64),
+        "aln_len_cons": np.zeros(n, dtype=np.int64),
+        "deam_match": np.zeros(n, dtype=np.float64),
+    }
+    lib.contig_prepass(
+        _as(data, np.uint8, _u8p), _as(offsets, np.int64, _i64p),
+        _as(lengths, np.int64, _i64p), len(data),
+        _as(qid, np.int32, _i32p), _as(tid, np.int32, _i32p),
+        _as(is_rev, np.uint8, _u8p),
+        _as(qs, np.int32, _i32p), _as(qe, np.int32, _i32p),
+        _as(ts, np.int32, _i32p), _as(te, np.int32, _i32p),
+        _as(alen, np.int32, _i32p), _as(not_identity, np.uint8, _u8p), n,
+        ctypes.c_float(merge_thr), ctypes.c_float(ry_thr),
+        _as(lik5_f, np.float64, _f64p), _as(lik5_r, np.float64, _f64p),
+        out["idc"].ctypes.data_as(_i64p), out["ryc"].ctypes.data_as(_i64p),
+        out["cand"].ctypes.data_as(_u8p),
+        out["seq_id"].ctypes.data_as(_f64p),
+        out["ry_seq_id"].ctypes.data_as(_f64p),
+        out["aln_len_cons"].ctypes.data_as(_i64p),
+        out["deam_match"].ctypes.data_as(_f64p))
+    out["cand"] = out["cand"].astype(bool)
+    return out
+
+
+def read_prepass(data, offsets, lengths, qid, tid, qs, qe, ts, te, alen,
+                 terminal, ext_t, seq_id_thr: float, logm) -> dict | None:
+    """Per-record read-phase pre-pass (pass B/C, consensus update,
+    likelihood columns); returns arrays dict or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(qid)
+    _f64p = ctypes.POINTER(ctypes.c_double)
+    out = {
+        "idc": np.zeros(n, dtype=np.int64),
+        "ryc": np.zeros(n, dtype=np.int64),
+        "cand": np.zeros(n, dtype=np.uint8),
+        "seq_id": np.zeros(n, dtype=np.float64),
+        "ry_seq_id": np.zeros(n, dtype=np.float64),
+        "cons_total": np.zeros(n, dtype=np.int64),
+        "cons_valid": np.zeros(n, dtype=np.uint8),
+        "cons_left": np.zeros(n, dtype=np.uint8),
+        "lik_mod": np.zeros(n, dtype=np.float64),
+        "aln_count": np.zeros(n, dtype=np.int64),
+    }
+    lib.read_prepass(
+        _as(data, np.uint8, _u8p), _as(offsets, np.int64, _i64p),
+        _as(lengths, np.int64, _i64p), len(data),
+        _as(qid, np.int32, _i32p), _as(tid, np.int32, _i32p),
+        _as(qs, np.int32, _i32p), _as(qe, np.int32, _i32p),
+        _as(ts, np.int32, _i32p), _as(te, np.int32, _i32p),
+        _as(alen, np.int32, _i32p), _as(terminal, np.uint8, _u8p),
+        _as(ext_t, np.uint8, _u8p), n, ctypes.c_float(seq_id_thr),
+        _as(logm, np.float64, _f64p),
+        out["idc"].ctypes.data_as(_i64p), out["ryc"].ctypes.data_as(_i64p),
+        out["cand"].ctypes.data_as(_u8p),
+        out["seq_id"].ctypes.data_as(_f64p),
+        out["ry_seq_id"].ctypes.data_as(_f64p),
+        out["cons_total"].ctypes.data_as(_i64p),
+        out["cons_valid"].ctypes.data_as(_u8p),
+        out["cons_left"].ctypes.data_as(_u8p),
+        out["lik_mod"].ctypes.data_as(_f64p),
+        out["aln_count"].ctypes.data_as(_i64p))
+    out["cand"] = out["cand"].astype(bool)
+    out["cons_valid"] = out["cons_valid"].astype(bool)
+    out["cons_left"] = out["cons_left"].astype(bool)
+    return out
+
+
+def correction_groups(data, offsets, lengths, ext, rec_starts, group_q,
+                      rec_t, rec_is_rev, rec_qstart, rec_tstart, rec_alen,
+                      rec_keep_pre, rec_ry_smin, log_err, log_deam_f,
+                      log_deam_r) -> np.ndarray | None:
+    """Whole-stage correction per query group; returns the corrected flat
+    byte array (passthrough positions keep the input bytes), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _f64p = ctypes.POINTER(ctypes.c_double)
+    out = np.ascontiguousarray(data, dtype=np.uint8).copy()
+    lib.correction_groups(
+        _as(data, np.uint8, _u8p), _as(offsets, np.int64, _i64p),
+        _as(lengths, np.int64, _i64p), _as(ext, np.uint8, _u8p),
+        len(group_q),
+        _as(rec_starts, np.int64, _i64p), _as(group_q, np.int32, _i32p),
+        _as(rec_t, np.int32, _i32p), _as(rec_is_rev, np.uint8, _u8p),
+        _as(rec_qstart, np.int32, _i32p), _as(rec_tstart, np.int32, _i32p),
+        _as(rec_alen, np.int32, _i32p), _as(rec_keep_pre, np.uint8, _u8p),
+        _as(rec_ry_smin, np.int32, _i32p),
+        _as(log_err, np.float64, _f64p),
+        _as(log_deam_f, np.float64, _f64p),
+        _as(log_deam_r, np.float64, _f64p),
+        out.ctypes.data_as(_u8p))
+    return out
+
+
+def kmer_extract(data, offsets, lengths, k: int, seed: int,
+                 kmers_per_sequence: int, scale: float) -> dict | None:
+    """Whole-DB k-mer extraction + selection (identity entry first per
+    sequence); returns compacted entry arrays dict or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_seqs = len(lengths)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    cap = np.maximum(lengths - k + 1, 0) + 1
+    out_offsets = np.concatenate([[0], np.cumsum(cap)]).astype(np.int64)
+    total_cap = int(out_offsets[-1])
+    kmer_o = np.zeros(total_cap, dtype=np.uint64)
+    pos_o = np.zeros(total_cap, dtype=np.int32)
+    h16_o = np.zeros(total_cap, dtype=np.uint16)
+    count_o = np.zeros(n_seqs, dtype=np.int64)
+    lib.kmer_extract(
+        _as(data, np.uint8, _u8p), _as(offsets, np.int64, _i64p),
+        lengths.ctypes.data_as(_i64p), n_seqs, k, ctypes.c_uint64(seed),
+        kmers_per_sequence, ctypes.c_float(scale),
+        out_offsets.ctypes.data_as(_i64p),
+        kmer_o.ctypes.data_as(_u64p), pos_o.ctypes.data_as(_i32p),
+        h16_o.ctypes.data_as(_u16p), count_o.ctypes.data_as(_i64p))
+    # compact the per-sequence regions
+    keep = np.zeros(total_cap, dtype=bool)
+    starts = out_offsets[:-1]
+    pos_idx = np.arange(total_cap, dtype=np.int64) \
+        - np.repeat(starts, cap)
+    keep = pos_idx < np.repeat(count_o, cap)
+    ids = np.repeat(np.arange(n_seqs, dtype=np.int64), cap)[keep]
+    return {
+        "kmer": kmer_o[keep],
+        "id": ids,
+        "pos": pos_o[keep],
+        "seq_len": lengths[ids].astype(np.int32),
+        "h16": h16_o[keep],
+    }
+
+
+def sort_kmer_entries(kmer, ids, pos, seq_len) -> np.ndarray | None:
+    """Global (kmer|b63 asc, len desc, id asc, pos asc) sort permutation,
+    or None if no native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(kmer)
+    order = np.zeros(n, dtype=np.int64)
+    lib.sort_kmer_entries(
+        _as(kmer, np.uint64, _u64p), _as(ids, np.int64, _i64p),
+        _as(pos, np.int32, _i32p), _as(seq_len, np.int32, _i32p), n,
+        order.ctypes.data_as(_i64p))
+    return order

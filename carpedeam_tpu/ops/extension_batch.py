@@ -70,6 +70,42 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
     log_excess = np.log(excess_penal)
     log_rand = np.log(rand_aln_penal)
 
+    # ---- native fast path: passes A-C + consensus + likelihood in C++ ---
+    from .. import native
+    nat = native.read_prepass(
+        data, offsets, seqdb.lengths, qid.astype(np.int32),
+        tid.astype(np.int32), qs.astype(np.int32), qe.astype(np.int32),
+        ts.astype(np.int32), te.astype(np.int32), alen.astype(np.int32),
+        (terminal & not_identity).astype(np.uint8),
+        seqdb.ext[tid].astype(np.uint8), float(seq_id_thr), logm)
+    if nat is not None:
+        cand = nat["cand"]
+        seq_id = nat["seq_id"]
+        ry_seq_id = nat["ry_seq_id"]
+        max_left = np.zeros(n_seq, dtype=np.int64)
+        max_right = np.zeros(n_seq, dtype=np.int64)
+        cc = np.nonzero(cand & nat["cons_valid"])[0]
+        lmask = nat["cons_left"][cc]
+        np.maximum.at(max_left, qid[cc[lmask]], nat["cons_total"][cc[lmask]])
+        np.maximum.at(max_right, qid[cc[~lmask]],
+                      nat["cons_total"][cc[~lmask]])
+        not_inside = tlen != alen
+        queue_pre = cand & ((ts == 0) | (qs == 0)) & not_inside \
+            & not_identity \
+            & (ry_seq_id.astype(np.float32) >= np.float32(ry_seq_id_thr)) \
+            & (seq_id.astype(np.float32) >= np.float32(seq_id_thr))
+        is_left_like = (qs == 0) & (te == tlen - 1)
+        max_aln = np.where(is_left_like, max_left[qid], max_right[qid])
+        excess = max_aln - nat["aln_count"]
+        s_len_norm = nat["lik_mod"] + excess * log_excess
+        with np.errstate(over="ignore"):
+            s_ratio = 1.0 / (1.0 + np.exp(max_aln * log_rand - s_len_norm))
+        queue_ok = queue_pre & (s_ratio > likelihood_thr)
+        return {"cand": cand, "seq_id": seq_id, "ry_seq_id": ry_seq_id,
+                "queue_ok": queue_ok, "s_len_norm": s_len_norm,
+                "s_ratio": s_ratio, "max_left": max_left,
+                "max_right": max_right}
+
     seq_id = np.zeros(n_rec, dtype=np.float64)
     ry_seq_id = np.zeros(n_rec, dtype=np.float64)
     cand = np.zeros(n_rec, dtype=bool)
@@ -241,22 +277,18 @@ def _pass_b_identity_host(seqdb, qid, tid, is_rev, qs, ts, win):
 
 
 def _pass_b_identity(seqdb, qid, tid, is_rev, qs, ts, win, planes=None):
-    """Pass-B identity counts: Pallas kernel on an accelerator backend
-    (records touching non-uppercase-ACGT sequences are recomputed on the
-    host for exact char semantics), NumPy otherwise."""
+    """Pass-B identity counts: Pallas kernel when the caller provides
+    device-resident planes (the pipeline's routing decision — records
+    touching non-uppercase-ACGT sequences are recomputed on the host for
+    exact char semantics), NumPy otherwise.  The device path is never
+    chosen implicitly: on tunnelled/remote TPU backends an uninvited
+    device round-trip costs more than the whole host stage."""
     from ..utils import device_is_tpu
     n_rec = len(qid)
-    if n_rec and device_is_tpu():
+    if n_rec and planes is not None and device_is_tpu():
         from .window_pallas import (MAX_LEN_WINDOW_PALLAS,
                                     has_non_acgt_flags,
                                     window_identity_pallas)
-        if planes is None:
-            from ..utils import bucket_len
-            from .rescore_tpu import pack_sequences
-            import jax
-            planes, _ = pack_sequences(seqdb, max_len=bucket_len(
-                int(seqdb.lengths.max())))
-            planes = {k: jax.device_put(v) for k, v in planes.items()}
         if planes["sym"].shape[1] <= MAX_LEN_WINDOW_PALLAS:
             idc, ryc = window_identity_pallas(
                 planes, len(seqdb), qid, tid, is_rev, qs, ts, win)
@@ -298,6 +330,35 @@ def batch_contig_scoring(seqdb, aln, damage, merge_seq_id_thr: float,
     te = np.where(is_rev, tlen - ts0 - 1, te0)
     not_identity = aln.cols["tkey"].astype(np.int64) \
         != aln.qkey.astype(np.int64)
+
+    # ---- native fast path: the whole pre-pass in one C++ call ----------
+    # (the device pass-B path below is taken only when the pipeline
+    # provided device-resident planes)
+    if planes is None:
+        from .. import native
+        nat = native.contig_prepass(
+            seqdb.data, seqdb.offsets, seqdb.lengths,
+            qid.astype(np.int32), tid.astype(np.int32),
+            is_rev.astype(np.uint8), qs.astype(np.int32),
+            qe.astype(np.int32), ts.astype(np.int32), te.astype(np.int32),
+            alen.astype(np.int32), not_identity.astype(np.uint8),
+            float(merge_seq_id_thr), float(ry_seq_id_thr),
+            damage.fwd[5], damage.rev[5])
+        if nat is not None:
+            min_aln_len = np.where(
+                alen < 500, np.minimum(500, (0.2 * tlen).astype(np.int64)),
+                500)
+            queue_ok = nat["cand"] \
+                & (nat["seq_id"].astype(np.float32)
+                   >= np.float32(merge_seq_id_thr)) \
+                & (nat["ry_seq_id"].astype(np.float32)
+                   >= np.float32(ry_seq_id_thr)) \
+                & (alen >= min_aln_len)
+            return {"cand": nat["cand"], "qs": qs, "qe": qe, "ts": ts,
+                    "te": te, "is_rev": is_rev, "seq_id": nat["seq_id"],
+                    "ry_seq_id": nat["ry_seq_id"],
+                    "aln_len_cons": nat["aln_len_cons"],
+                    "deam_match": nat["deam_match"], "queue_ok": queue_ok}
 
     data = seqdb.data
     offsets = seqdb.offsets

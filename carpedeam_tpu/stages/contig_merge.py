@@ -174,7 +174,7 @@ def _ancient_match_count(c: _Cand, consensus: np.ndarray, query_len: int,
 def contig_merge(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
                  merge_seq_id_thr: float, ry_seq_id_thr: float,
                  max_seq_len: int, unsafe: bool = False,
-                 min_cov_safe: int = 5) -> SeqDB:
+                 min_cov_safe: int = 5, planes=None, lengths=None) -> SeqDB:
     from .consensus import consensus_caller
 
     key2id = seqdb.key_to_id()
@@ -182,12 +182,14 @@ def contig_merge(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
     aln_len_all = aln.aln_len
 
     # safe mode: canonicalisation, identities, consensus update and
-    # ancientMatchCount batched over all records (ops/extension_batch)
+    # ancientMatchCount batched over all records (ops/extension_batch);
+    # pass-B runs on the device only when the pipeline provided planes
     pre = None
     if not unsafe:
         from ..ops.extension_batch import batch_contig_scoring
         pre = batch_contig_scoring(seqdb, aln, damage, merge_seq_id_thr,
-                                   ry_seq_id_thr)
+                                   ry_seq_id_thr, planes=planes,
+                                   lengths=lengths)
 
     out_seqs: list[bytes] = []
     out_ext: list[bool] = []

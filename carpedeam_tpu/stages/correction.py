@@ -70,6 +70,25 @@ def correction(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
     total_len = int(seqdb.lengths.sum())
     rec = prepare_correction_inputs(seqdb, aln, n, corr_reads_ry_seq_id,
                                     seq_id_thr)
+
+    # ---- native whole-stage path: per-query-group accumulation + argmax
+    # in one C++ pass (no (total_len,4,11) global tensor) ---------------
+    group_q = seqdb.lookup_keys(aln.qkeys).astype(np.int32)
+    out_flat = native.correction_groups(
+        seqdb.data[:total_len], seqdb.offsets, seqdb.lengths,
+        seqdb.ext.astype(np.uint8), aln.starts, group_q,
+        (rec["rec_t_row"] % max(n, 1)).astype(np.int32),
+        rec["rec_is_rev"].astype(np.uint8), rec["rec_qstart"],
+        rec["rec_tstart"], rec["rec_alen"],
+        rec["rec_keep_pre"].astype(np.uint8), rec["rec_ry_smin"],
+        np.log(seq_error_profile(0.01)),
+        np.log(np.maximum(damage.fwd, SMOOTHING_VALUE)),
+        np.log(np.maximum(damage.rev, SMOOTHING_VALUE)))
+    if out_flat is not None:
+        return SeqDB.from_flat(out_flat, seqdb.lengths.copy(),
+                               keys=seqdb.keys.copy(), ext=seqdb.ext.copy(),
+                               headers=seqdb.headers)
+
     acc = native.correction_accumulate(
         seqdb.data, seqdb.offsets, seqdb.lengths,
         rec["rec_q"], (rec["rec_t_row"] % max(n, 1)).astype(np.int32),
