@@ -372,14 +372,23 @@ def group_and_pairs(pad, kmer_hi, kmer_lo, ids, pos, seq_len,
 # stage 5: row compaction into the final PrefDB order
 # ---------------------------------------------------------------------------
 
+def bucket_geom(n: int, lo: int = 1024) -> int:
+    """Round up to the next power of two (>= lo): geometric shape buckets
+    bound compile variants to O(log n) across assembly iterations."""
+    n = max(int(n), lo)
+    return 1 << (n - 1).bit_length()
+
+
 @partial(jax.jit, static_argnames=("n_seqs_i",))
-def compact_rows(g, n_seqs_i):
+def compact_rows(g, n_seqs_i, n_real):
     """Pair rows + self rows + missing-centre rows -> final ordered rows.
 
     Final PrefDB order (kmermatcher.cpp:815-930 + :716-729): centres
     ascending, self row first within each block, then members ascending;
     sequences never written as a centre get a lone self row appended in
-    id order.  One stable 3-key sort compacts everything.
+    id order.  One stable 3-key sort compacts everything.  `n_seqs_i` is
+    the bucketed slot count; `n_real` the true sequence count (phantom
+    slots emit nothing).
     """
     M = g["centre"].shape[0]
     # has_centre per sequence id (scatter of self_emit)
@@ -387,7 +396,7 @@ def compact_rows(g, n_seqs_i):
         jnp.clip(g["centre"], 0, n_seqs_i - 1)].max(
         g["self_emit"].astype(I32), mode="drop")
     seq_ids = jnp.arange(n_seqs_i, dtype=I32)
-    missing = has_centre == 0
+    missing = (has_centre == 0) & (seq_ids < n_real)
 
     # slots: [pair rows (M)] + [self rows (M)] + [missing rows (n_seqs)]
     is_row = jnp.concatenate([g["emit"], g["self_emit"], missing])
@@ -446,15 +455,17 @@ def extract_selected_device(seqdb, k: int, kmers_per_sequence: int,
     parts = []
     for bl, ids_np in _bucketize(seqdb):
         B = len(ids_np)
+        Bp = bucket_geom(B, lo=256)     # row bucket: compile reuse
         lens_b = seqdb.lengths[ids_np].astype(np.int64)
-        codes = np.full((B, bl), 4, dtype=np.int8)
+        codes = np.full((Bp, bl), 4, dtype=np.int8)
         tot = int(lens_b.sum())
         row = np.repeat(np.arange(B), lens_b)
         cum = np.concatenate([[0], np.cumsum(lens_b)])
         col = np.arange(tot) - np.repeat(cum[:-1], lens_b)
         flat = np.repeat(seqdb.offsets[ids_np], lens_b) + col
         codes[row, col] = CHAR_TO_CODE[seqdb.data[flat]]
-        lengths = lens_b.astype(np.int32)
+        lengths = np.zeros(Bp, dtype=np.int32)
+        lengths[:B] = lens_b
         if bl < k:
             ext = None
         else:
@@ -483,16 +494,20 @@ def kmermatcher_device(seqdb, k: int, kmers_per_sequence: int,
     khs, kls, idss, poss, lens, pads = [], [], [], [], [], []
     for ids_np, lengths, ext in parts:
         B = len(ids_np)
-        ids_dev = jnp.asarray(ids_np.astype(np.int32))
+        Bp = len(lengths)                     # row-bucketed count
+        ids_pad = np.zeros(Bp, dtype=np.int32)
+        ids_pad[:B] = ids_np
+        ids_dev = jnp.asarray(ids_pad)
+        phantom = jnp.arange(Bp) >= B
         if ext is not None:
             W = ext["kmer_hi"].shape[1]
             sel = ext["selected"]
             khs.append(ext["kmer_hi"].ravel())
             kls.append(ext["kmer_lo"].ravel())
-            idss.append(jnp.broadcast_to(ids_dev[:, None], (B, W)).ravel())
+            idss.append(jnp.broadcast_to(ids_dev[:, None], (Bp, W)).ravel())
             poss.append(ext["pos"].ravel())
             lens.append(jnp.broadcast_to(
-                jnp.asarray(lengths)[:, None], (B, W)).ravel())
+                jnp.asarray(lengths)[:, None], (Bp, W)).ravel())
             pads.append(~sel.ravel())
             khs.append(ext["id_hash_hi"])
             kls.append(ext["id_hash_lo"])
@@ -501,16 +516,17 @@ def kmermatcher_device(seqdb, k: int, kmers_per_sequence: int,
             from ..kmer.xxh64 import util_hash_codes_batch, xxh64_u64
             from ..constants import CHAR_TO_CODE
             codes_flat = CHAR_TO_CODE[seqdb.data]
-            ih = xxh64_u64(util_hash_codes_batch(
+            ih = np.zeros(Bp, dtype=np.uint64)
+            ih[:B] = xxh64_u64(util_hash_codes_batch(
                 codes_flat, seqdb.offsets[ids_np], seqdb.lengths[ids_np]),
                 hash_shift)
             khs.append(jnp.asarray((ih >> np.uint64(32)).astype(np.uint32)))
             kls.append(jnp.asarray(
                 (ih & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
         idss.append(ids_dev)
-        poss.append(jnp.zeros(B, I32))
+        poss.append(jnp.zeros(Bp, I32))
         lens.append(jnp.asarray(lengths))
-        pads.append(jnp.zeros(B, bool))
+        pads.append(phantom)
 
     kmer_hi = jnp.concatenate(khs)
     kmer_lo = jnp.concatenate(kls)
@@ -519,10 +535,23 @@ def kmermatcher_device(seqdb, k: int, kmers_per_sequence: int,
     seq_len = jnp.concatenate(lens).astype(I32)
     pad = jnp.concatenate(pads)
 
+    # flat-table bucket: pad slots sort to the tail and emit nothing
+    M = kmer_hi.shape[0]
+    Mp = bucket_geom(M, lo=1 << 16)
+    if Mp > M:
+        z = Mp - M
+        kmer_hi = jnp.concatenate([kmer_hi, jnp.zeros(z, U32)])
+        kmer_lo = jnp.concatenate([kmer_lo, jnp.zeros(z, U32)])
+        ids = jnp.concatenate([ids, jnp.zeros(z, I32)])
+        pos = jnp.concatenate([pos, jnp.zeros(z, I32)])
+        seq_len = jnp.concatenate([seq_len, jnp.zeros(z, I32)])
+        pad = jnp.concatenate([pad, jnp.ones(z, bool)])
+
     g = group_and_pairs(pad, kmer_hi, kmer_lo, ids, pos, seq_len,
                         bool(include_only_extendable), int(cov_mode),
                         jnp.float32(cov_thr))
-    rows = compact_rows(g, n_seqs)
+    rows = compact_rows(g, bucket_geom(n_seqs, lo=1024),
+                        jnp.int32(n_seqs))
 
     n_rows = int(rows["n_rows"])
     q = np.asarray(rows["q"][:n_rows])
