@@ -60,10 +60,11 @@ def test_cyclecheck_split():
 
 
 @needs_golden
-@pytest.mark.skipif(not os.path.exists(CKPT), reason="pipeline checkpoints absent")
 def test_golden_full_nuclassemble():
-    """Full 10-iteration nuclassemble == reference nuclassembly DB
-    (restores from work/example_tmp checkpoints created by a prior run)."""
+    """Full 10-iteration nuclassemble == reference nuclassembly DB.
+
+    Self-sufficient: runs the pipeline when work/example_tmp checkpoints
+    are absent (~4 s on this host) and resumes from them when present."""
     from carpedeam_tpu.params import Params, apply_nuclassemble_defaults
     from carpedeam_tpu.pipeline import nuclassemble
     db = SeqDB.from_fastx("/root/reference/example/test_data.fq.gz")
