@@ -40,11 +40,10 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
       queue_ok  entered the priority queue (incl. sRatio > threshold)
       s_len_norm, s_ratio  likelihood scores (f64)
     plus per-query max_left / max_right (length == len(seqdb))."""
-    key2id = seqdb.key_to_id()
     n_rec = len(aln.qkey)
     n_seq = len(seqdb)
-    qid = np.array([key2id[int(k)] for k in aln.qkey], dtype=np.int64)
-    tid = np.array([key2id[int(k)] for k in aln.cols["tkey"]], dtype=np.int64)
+    qid = seqdb.lookup_keys(aln.qkey).astype(np.int64)
+    tid = seqdb.lookup_keys(aln.cols["tkey"]).astype(np.int64)
     qs = aln.cols["qstart"].astype(np.int64)
     qe = aln.cols["qend"].astype(np.int64)
     ts = aln.cols["dbstart"].astype(np.int64)
@@ -312,10 +311,9 @@ def batch_contig_scoring(seqdb, aln, damage, merge_seq_id_thr: float,
 
     Returns per-record arrays: cand, qs/qe/ts/te (canonical), is_rev,
     seq_id, ry_seq_id, aln_len_cons, deam_match, queue_ok."""
-    key2id = seqdb.key_to_id()
     n_rec = len(aln.qkey)
-    qid = np.array([key2id[int(k)] for k in aln.qkey], dtype=np.int64)
-    tid = np.array([key2id[int(k)] for k in aln.cols["tkey"]], dtype=np.int64)
+    qid = seqdb.lookup_keys(aln.qkey).astype(np.int64)
+    tid = seqdb.lookup_keys(aln.cols["tkey"]).astype(np.int64)
     qs0 = aln.cols["qstart"].astype(np.int64)
     qe0 = aln.cols["qend"].astype(np.int64)
     ts0 = aln.cols["dbstart"].astype(np.int64)

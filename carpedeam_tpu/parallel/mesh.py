@@ -92,8 +92,8 @@ def rescorediagonal_sharded(mesh: Mesh):
         n = len(pref.qkey)
         n_pad = bucket(bucket_pairs(n), d)
         rec = _pad_to({
-            "qidx": np.array([key2id[int(k)] for k in pref.qkey], np.int32),
-            "tidx": np.array([key2id[int(k)] for k in pref.tkey], np.int32),
+            "qidx": seqdb.lookup_keys(pref.qkey).astype(np.int32),
+            "tidx": seqdb.lookup_keys(pref.tkey).astype(np.int32),
             "diag": pref.diag.astype(np.int32),
             "is_rev": (pref.score < 0),
         }, n_pad)

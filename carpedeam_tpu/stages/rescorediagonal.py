@@ -60,9 +60,8 @@ def rescorediagonal(seqdb: SeqDB, pref: PrefDB, seq_id_thr: float,
 def _score_pairs_native(seqdb: SeqDB, pref: PrefDB) -> dict | None:
     from .. import native
 
-    key2id = seqdb.key_to_id()
-    qid = np.array([key2id[int(k)] for k in pref.qkey], dtype=np.int32)
-    tid = np.array([key2id[int(k)] for k in pref.tkey], dtype=np.int32)
+    qid = seqdb.lookup_keys(pref.qkey).astype(np.int32)
+    tid = seqdb.lookup_keys(pref.tkey).astype(np.int32)
     out = native.score_pairs(seqdb.data, seqdb.offsets, seqdb.lengths,
                              qid, tid, pref.diag.astype(np.int32),
                              (pref.score < 0).astype(np.uint8))
@@ -74,10 +73,9 @@ def _score_pairs_native(seqdb: SeqDB, pref: PrefDB) -> dict | None:
 
 
 def _score_pairs_numpy(seqdb: SeqDB, pref: PrefDB) -> dict:
-    key2id = seqdb.key_to_id()
     n = len(pref.qkey)
-    qid = np.array([key2id[int(k)] for k in pref.qkey], dtype=np.int64)
-    tid = np.array([key2id[int(k)] for k in pref.tkey], dtype=np.int64)
+    qid = seqdb.lookup_keys(pref.qkey).astype(np.int64)
+    tid = seqdb.lookup_keys(pref.tkey).astype(np.int64)
     is_rev = pref.score < 0
     qlen = seqdb.lengths[qid].astype(np.int64)
     tlen = seqdb.lengths[tid].astype(np.int64)
