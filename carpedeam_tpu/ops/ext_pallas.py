@@ -1,0 +1,173 @@
+"""Pallas TPU kernel: read-phase extension initial scoring (safe mode).
+
+Device replacement for the consensus-seqId + damage-likelihood passes of
+ops/extension_batch.batch_initial_scoring (reference semantics:
+src/assembler/ancientReadsResults.cpp:316-366, nuclassembleUtil.cpp
+updateSeqIdConsensusReads:704-818 / calcLikelihoodConsensus:203-374,
+safe mode: consensus == query centred in the 3L buffer, so every
+consensus lookup is an affine query-window mapping).
+
+Per alignment record (query row, target row, affine window scalars):
+  * the query row is rotated into the TARGET-local frame with one barrel
+    shift (column i compares target[i] vs query[qpos0 + i]);
+  * total / plain-identity / RY-identity counts over the valid window
+    (masked lane reductions);
+  * the damage log-likelihood sum: per column, the damage-position layer
+    is pure iota math (min(i,5) from the 5' end, 6+i-(tlen-5) from the
+    3' end — exact for N-free targets; records touching non-ACGT
+    sequences are recomputed on the host like window_pallas), and the
+    (layer, qbase, tbase) -> log p lookup is a static 176-way select
+    chain with the damage-model constants BAKED into the kernel (the
+    model is fixed per assembly run, so this compiles once).
+
+Likelihood sums are f32 on device vs f64 on the host oracle; decision
+margins (sRatio > 0.5, queue ordering) are validated byte-identical
+end-to-end by the golden tests, mirroring the correction kernel's
+established f32 policy.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _block_rows(max_len: int) -> int:
+    if max_len <= 1536:
+        return 256
+    if max_len <= 3072:
+        return 128
+    if max_len <= 6144:
+        return 64
+    return 32
+
+
+def _roll_rows_left(x, shift, width: int):
+    n_bits = max(1, (width - 1).bit_length())
+    for k in range(n_bits):
+        step = 1 << k
+        if step >= width:
+            break
+        take = (shift & step) != 0
+        rolled = jnp.concatenate([x[:, step:], x[:, :step]], axis=1)
+        x = jnp.where(take, rolled, x)
+    return x
+
+
+def _make_cons_kernel(logm_flat: tuple):
+    """logm_flat: 176 static floats, index lay*16 + qb*4 + tb."""
+
+    def kernel(q_sym_ref, t_sym_ref, scal_ref, out_ref):
+        B, L = q_sym_ref.shape
+        q = q_sym_ref[:].astype(jnp.int32)
+        t = t_sym_ref[:].astype(jnp.int32)
+        qpos0 = scal_ref[:, 0:1]
+        qlen = scal_ref[:, 1:2]
+        tlen = scal_ref[:, 2:3]
+        ir0 = scal_ref[:, 3:4]
+        ir1 = scal_ref[:, 4:5]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+
+        # query char at qp = qpos0 + i: rotate the query row left by qpos0
+        shift = qpos0 % L
+        q_al = _roll_rows_left(q, shift, L)
+        qp = qpos0 + pos
+        q_in = (qp >= 0) & (qp < qlen)
+        t_in = pos < tlen
+        in_rng = (pos >= ir0) & (pos < ir1)
+        t_nn = (t != ord("N")) & t_in
+        q_nn = q_al != ord("N")
+        use = t_nn & q_in & in_rng & q_nn
+
+        total = jnp.sum(use.astype(jnp.int32), axis=1, keepdims=True)
+        idc = jnp.sum(((q_al == t) & use).astype(jnp.int32), axis=1,
+                      keepdims=True)
+        ry_q = (q_al == ord("C")) | (q_al == ord("T"))
+        ry_t = (t == ord("C")) | (t == ord("T"))
+        ryc = jnp.sum(((ry_q == ry_t) & use).astype(jnp.int32), axis=1,
+                      keepdims=True)
+
+        # damage layer per column (N-free targets: rank == position)
+        lay = jnp.minimum(pos, 5)
+        from_end = pos - (tlen - 5)
+        lay = jnp.where(from_end >= 0, jnp.minimum(6 + from_end, 10), lay)
+        # base codes A0 C1 G2 T3 (CHAR_TO_ACGT; non-ACGT -> 0, masked by use)
+        def code(x):
+            c = jnp.zeros_like(x)
+            c = jnp.where(x == ord("C"), 1, c)
+            c = jnp.where(x == ord("G"), 2, c)
+            c = jnp.where(x == ord("T"), 3, c)
+            return c
+        qb = code(q_al)
+        tb = code(t)
+        idx = lay * 16 + qb * 4 + tb
+        val = jnp.zeros((B, L), jnp.float32)
+        for c in range(176):
+            fc = float(logm_flat[c])
+            if fc != 0.0:
+                val = jnp.where(idx == c, jnp.float32(fc), val)
+        lik = jnp.sum(jnp.where(use, val, 0.0), axis=1, keepdims=True)
+
+        out_ref[:, 0:1] = total.astype(jnp.float32)
+        out_ref[:, 1:2] = idc.astype(jnp.float32)
+        out_ref[:, 2:3] = ryc.astype(jnp.float32)
+        out_ref[:, 3:4] = lik
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("max_len", "logm_flat", "interpret"))
+def _cons_device(sym2, qrow, trow, scal, max_len: int, logm_flat,
+                 interpret: bool):
+    q_sym = sym2[qrow].astype(jnp.int8)
+    t_sym = sym2[trow].astype(jnp.int8)
+    B = _block_rows(max_len)
+    n = qrow.shape[0]
+    return pl.pallas_call(
+        _make_cons_kernel(logm_flat),
+        grid=(n // B,),
+        in_specs=[pl.BlockSpec((B, max_len), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((B, max_len), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((B, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((B, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+        interpret=interpret,
+    )(q_sym, t_sym, scal)
+
+
+def consensus_likelihood_pallas(planes, n_seqs: int, qid, tid, qpos0,
+                                qlen, tlen, ir0, ir1, logm,
+                                interpret=None):
+    """Per-record (total, idc, ryc, lik_f32) over the safe-mode consensus
+    window.  Record axis padded to a block multiple; forward strand only
+    (the read phase drops reverse hits before this pass)."""
+    max_len = int(planes["sym"].shape[1])
+    B = _block_rows(max_len)
+    n = len(qid)
+    pad = max(B, ((n + B - 1) // B) * B)
+    qrow = np.zeros(pad, np.int32)
+    trow = np.zeros(pad, np.int32)
+    scal = np.zeros((pad, 8), np.int32)
+    qrow[:n] = qid
+    trow[:n] = tid
+    scal[:n, 0] = qpos0
+    scal[:n, 1] = qlen
+    scal[:n, 2] = tlen
+    scal[:n, 3] = ir0
+    scal[:n, 4] = ir1
+    logm_flat = tuple(np.asarray(logm, dtype=np.float32)
+                      .reshape(11, 4, 4).ravel().tolist())
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    out = np.asarray(_cons_device(planes["sym"], qrow, trow, scal,
+                                  max_len=max_len, logm_flat=logm_flat,
+                                  interpret=interpret))
+    return (out[:n, 0].astype(np.int64), out[:n, 1].astype(np.int64),
+            out[:n, 2].astype(np.int64), out[:n, 3].astype(np.float64))

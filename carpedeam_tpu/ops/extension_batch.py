@@ -30,9 +30,85 @@ def _chunk_for(max_len: int) -> int:
     return max(256, (1 << 27) // max(max_len, 1))
 
 
+def _consensus_likelihood_host(seqdb, qid, tid, qs, qe, ts, te, alen,
+                               logm, rows, max_len):
+    """Safe-mode consensus seqId + damage likelihood for the given record
+    indices (NumPy, exact raw-char semantics).  Returns dict of arrays
+    indexed like `rows`."""
+    data = seqdb.data
+    offsets = seqdb.offsets
+    ry_flat = CHAR_TO_RY[data]
+    acgt_flat = CHAR_TO_ACGT[data]
+    not_n_flat = data != ord("N")
+    tlen = seqdb.lengths[tid]
+    qlen = seqdb.lengths[qid]
+    n = len(rows)
+    out = {k: np.zeros(n, dtype=np.float64)
+           for k in ("seq_id", "ry_seq_id", "lik_mod")}
+    out["total"] = np.zeros(n, dtype=np.int64)
+    out["aln_count"] = np.zeros(n, dtype=np.int64)
+    out["valid"] = np.zeros(n, dtype=bool)
+    out["left"] = np.zeros(n, dtype=bool)
+    out["has"] = np.zeros(n, dtype=bool)
+    pos = np.arange(max_len, dtype=np.int64)[None, :]
+    chunk = _chunk_for(max_len)
+    for c0 in range(0, n, chunk):
+        sub = slice(c0, min(c0 + chunk, n))
+        rc = rows[sub]
+        qsr, qer, tsr, ter = qs[rc], qe[rc], ts[rc], te[rc]
+        alr, tlr, qlr = alen[rc], tlen[rc], qlen[rc]
+        qoff, toff = offsets[qid[rc]], offsets[tid[rc]]
+
+        right_c = (tsr == 0) & (qer == qlr - 1)
+        left_c = (qsr == 0) & (ter == tlr - 1)
+        offs = tlr - alr
+        cs_ok = (qlr - offs) >= 0
+        valid = (right_c | left_c) & cs_ok
+        qpos0 = np.where(left_c, -offs, qlr - alr)
+        i_grid = pos
+        t_in = i_grid < tlr[:, None]
+        qp = qpos0[:, None] + i_grid
+        q_in = (qp >= 0) & (qp < qlr[:, None])
+        cons_pos = np.where(left_c[:, None], qlr[:, None] - offs[:, None],
+                            2 * qlr[:, None] - alr[:, None]) + i_grid
+        in_rng = (cons_pos >= 0) & (cons_pos < 3 * qlr[:, None])
+        tg_idx = np.clip(toff[:, None] + i_grid, 0, len(data) - 1)
+        qg_idx = np.clip(qoff[:, None] + qp, 0, len(data) - 1)
+        t_not_n = not_n_flat[tg_idx] & t_in
+        use = t_not_n & q_in & in_rng & (not_n_flat[qg_idx])
+        total = use.sum(axis=1)
+        idc2 = ((data[qg_idx] == data[tg_idx]) & use).sum(axis=1)
+        ryc2 = ((ry_flat[qg_idx] == ry_flat[tg_idx]) & use).sum(axis=1)
+        out["has"][sub] = total > 0
+        out["seq_id"][sub] = (idc2.astype(np.float32)
+                              / np.maximum(total, 1).astype(np.float32)) \
+            .astype(np.float64)
+        out["ry_seq_id"][sub] = (ryc2.astype(np.float32)
+                                 / np.maximum(total, 1).astype(np.float32)) \
+            .astype(np.float64)
+        out["total"][sub] = total
+        out["valid"][sub] = valid
+        out["left"][sub] = left_c
+
+        t_nn = not_n_flat[tg_idx] & t_in
+        t_rank = np.cumsum(t_nn, axis=1) - 1
+        lay = np.where(t_rank < 5, np.maximum(t_rank, 0), 5)
+        from_end = t_rank - (tlr[:, None] - 5)
+        lay = np.where(from_end >= 0, 6 + from_end, lay)
+        lay = np.clip(lay, 0, 10)
+        use_l = t_nn & q_in & in_rng & not_n_flat[qg_idx]
+        qb4 = acgt_flat[qg_idx].astype(np.int64)
+        tb4 = acgt_flat[tg_idx].astype(np.int64)
+        vals = logm[lay, qb4, tb4]
+        out["lik_mod"][sub] = np.where(use_l, vals, 0.0).sum(axis=1)
+        out["aln_count"][sub] = use_l.sum(axis=1)
+    return out
+
+
 def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
                           ry_seq_id_thr: float, likelihood_thr: float,
-                          rand_aln_penal: float, excess_penal: float) -> dict:
+                          rand_aln_penal: float, excess_penal: float,
+                          planes=None, lengths=None) -> dict:
     """Returns per-record arrays (length == len(aln.qkey)):
 
       cand      pass A-C candidate mask
@@ -68,6 +144,114 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
     logm = likelihood_table(damage.fwd, seq_error_profile(0.001))
     log_excess = np.log(excess_penal)
     log_rand = np.log(rand_aln_penal)
+
+    def _finish(cand, seq_id, ry_seq_id, side_total, side_is_left,
+                side_valid, lik_mod, aln_count):
+        max_left = np.zeros(n_seq, dtype=np.int64)
+        max_right = np.zeros(n_seq, dtype=np.int64)
+        cc = np.nonzero(cand & side_valid)[0]
+        lmask = side_is_left[cc]
+        np.maximum.at(max_left, qid[cc[lmask]], side_total[cc[lmask]])
+        np.maximum.at(max_right, qid[cc[~lmask]], side_total[cc[~lmask]])
+        not_inside = tlen != alen
+        queue_pre = cand & ((ts == 0) | (qs == 0)) & not_inside \
+            & not_identity \
+            & (ry_seq_id.astype(np.float32) >= np.float32(ry_seq_id_thr)) \
+            & (seq_id.astype(np.float32) >= np.float32(seq_id_thr))
+        is_left_like = (qs == 0) & (te == tlen - 1)
+        max_aln = np.where(is_left_like, max_left[qid], max_right[qid])
+        excess = max_aln - aln_count
+        s_len_norm = lik_mod + excess * log_excess
+        with np.errstate(over="ignore"):
+            s_ratio = 1.0 / (1.0 + np.exp(max_aln * log_rand - s_len_norm))
+        queue_ok = queue_pre & (s_ratio > likelihood_thr)
+        return {"cand": cand, "seq_id": seq_id, "ry_seq_id": ry_seq_id,
+                "queue_ok": queue_ok, "s_len_norm": s_len_norm,
+                "s_ratio": s_ratio, "max_left": max_left,
+                "max_right": max_right}
+
+    # ---- device path: pass B + consensus + likelihood as Pallas window
+    # kernels over the shared sequence planes (records touching non-ACGT
+    # sequences recomputed on the host for exact raw-char semantics) ------
+    if planes is not None and n_rec \
+            and planes["sym"].shape[1] <= 16384:
+        from .ext_pallas import consensus_likelihood_pallas
+        from .window_pallas import has_non_acgt_flags, window_identity_pallas
+        flags = has_non_acgt_flags(seqdb)
+        seq_id = np.zeros(n_rec, dtype=np.float64)
+        ry_seq_id = np.zeros(n_rec, dtype=np.float64)
+        rt = np.nonzero(terminal & not_identity)[0]
+        if len(rt):
+            win = (qe - qs + 1)[rt]
+            idc, ryc = window_identity_pallas(
+                planes, n_seq, qid[rt], tid[rt],
+                np.zeros(len(rt), bool), qs[rt], ts[rt], win)
+            fx = np.nonzero(flags[qid[rt]] | flags[tid[rt]])[0]
+            if len(fx):
+                idc[fx], ryc[fx] = _pass_b_identity_host(
+                    seqdb, qid[rt[fx]], tid[rt[fx]],
+                    np.zeros(len(fx), bool), qs[rt[fx]], ts[rt[fx]],
+                    win[fx])
+            seq_id[rt] = (idc.astype(np.float32)
+                          / alen[rt].astype(np.float32)).astype(np.float64)
+            ry_seq_id[rt] = (ryc.astype(np.float32)
+                             / alen[rt].astype(np.float32)) \
+                .astype(np.float64)
+        no_offset = (tlen - alen) == 0
+        cand = np.zeros(n_rec, dtype=bool)
+        cand[rt] = True
+        cand &= (~seqdb.ext[tid]) & (alen >= 30) & (~no_offset) \
+            & (seq_id.astype(np.float32) >= np.float32(seq_id_thr))
+
+        side_total = np.zeros(n_rec, dtype=np.int64)
+        side_is_left = np.zeros(n_rec, dtype=bool)
+        side_valid = np.zeros(n_rec, dtype=bool)
+        lik_mod = np.zeros(n_rec, dtype=np.float64)
+        aln_count = np.zeros(n_rec, dtype=np.int64)
+        cc = np.nonzero(cand)[0]
+        if len(cc):
+            right_c = (ts[cc] == 0) & (qe[cc] == qlen[cc] - 1)
+            left_c = (qs[cc] == 0) & (te[cc] == tlen[cc] - 1)
+            offs = tlen[cc] - alen[cc]
+            valid = (right_c | left_c) & ((qlen[cc] - offs) >= 0)
+            qpos0 = np.where(left_c, -offs, qlen[cc] - alen[cc])
+            base = np.where(left_c, qlen[cc] - offs,
+                            2 * qlen[cc] - alen[cc])
+            ir0 = -base
+            ir1 = 3 * qlen[cc] - base
+            total, idc2, ryc2, lik = consensus_likelihood_pallas(
+                planes, n_seq, qid[cc], tid[cc], qpos0, qlen[cc],
+                tlen[cc], ir0, ir1, logm)
+            fx = np.nonzero(flags[qid[cc]] | flags[tid[cc]])[0]
+            if len(fx):
+                h = _consensus_likelihood_host(
+                    seqdb, qid, tid, qs, qe, ts, te, alen, logm,
+                    cc[fx], max_len)
+                total[fx] = h["total"]
+                lik[fx] = h["lik_mod"]
+                idc2[fx] = -1  # use host ratios directly below
+                hs, hr = h["seq_id"], h["ry_seq_id"]
+            has = total > 0
+            sid_c = np.where(
+                has, (idc2.astype(np.float32)
+                      / np.maximum(total, 1).astype(np.float32))
+                .astype(np.float64), seq_id[cc])
+            ry_c = np.where(
+                has, (ryc2.astype(np.float32)
+                      / np.maximum(total, 1).astype(np.float32))
+                .astype(np.float64), ry_seq_id[cc])
+            if len(fx):
+                sid_c[fx] = np.where(h["has"], hs, seq_id[cc[fx]])
+                ry_c[fx] = np.where(h["has"], hr, ry_seq_id[cc[fx]])
+            seq_id[cc] = np.where(valid, sid_c, seq_id[cc])
+            ry_seq_id[cc] = np.where(valid, ry_c, ry_seq_id[cc])
+            side_total[cc] = np.where(valid, total, 0)
+            side_is_left[cc] = left_c
+            side_valid[cc] = valid
+            lik_mod[cc] = np.where(valid, lik, 0.0)
+            aln_count[cc] = np.where(valid, total, 0)
+        return _finish(cand, seq_id, ry_seq_id, side_total, side_is_left,
+                       side_valid, lik_mod, aln_count)
 
     # ---- native fast path: passes A-C + consensus + likelihood in C++ ---
     from .. import native

@@ -159,13 +159,16 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                                      params.corr_reads_ry_seq_id,
                                      params.seq_id_thr, **shared)
             with timer.time(f"read_assembly_{step}"):
+                # extension scores run over the CORRECTED sequences: pack
+                # fresh device planes for them when on the device path
                 nxt = read_assembly(corr, aln, damage, params.seq_id_thr,
                                     params.ry_seq_id_thr,
                                     params.likelihood_threshold,
                                     params.random_align_penal,
                                     params.excess_penal, params.max_seq_len,
                                     params.ancient_unsafe,
-                                    params.min_cov_safe)
+                                    params.min_cov_safe,
+                                    **_shared_planes(corr))
         else:
             with timer.time(f"kmermatcher_{step}"):
                 pref = kmermatcher(cur, params.kmer_size_contigs,

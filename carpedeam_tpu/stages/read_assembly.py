@@ -109,7 +109,8 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
                   seq_id_thr: float, ry_seq_id_thr: float,
                   likelihood_thr: float, rand_aln_penal: float,
                   excess_penal: float, max_seq_len: int,
-                  unsafe: bool = False, min_cov_safe: int = 5) -> SeqDB:
+                  unsafe: bool = False, min_cov_safe: int = 5,
+                  planes=None, lengths=None) -> SeqDB:
     """One iteration of read-phase extension over the whole (corrected) DB."""
     from .consensus import consensus_caller
 
@@ -128,7 +129,8 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
         from ..ops.extension_batch import batch_initial_scoring
         pre = batch_initial_scoring(seqdb, aln, damage, seq_id_thr,
                                     ry_seq_id_thr, likelihood_thr,
-                                    rand_aln_penal, excess_penal)
+                                    rand_aln_penal, excess_penal,
+                                    planes=planes, lengths=lengths)
 
     out_seqs: list[bytes] = []
     out_ext: list[bool] = []
