@@ -242,10 +242,12 @@ def _correction_pallas_device(sym2, rec_rows_q, rec_rows_t, rscal, rrow,
 
 
 def build_correction_blocks(rec, lengths, n_seqs, g: int = G,
-                            rec_tile: int = REC_TILE):
+                            rec_tile: int = REC_TILE, heavy_mask=None):
     """Pack queries (with their surviving records) into (g, rec_tile)
     blocks.  Returns None if any single query owns more than rec_tile
-    records (caller falls back to the XLA kernel)."""
+    records (caller falls back to the XLA kernel).  `heavy_mask` marks
+    additional per-sequence ids to route through the host per-query
+    oracle (e.g. queries longer than the device plane width)."""
     from ..utils import bucket
     G, REC_TILE = g, rec_tile
 
@@ -260,9 +262,12 @@ def build_correction_blocks(rec, lengths, n_seqs, g: int = G,
     idx = idx[order]
     q = q[order]
     uq, starts, cnts = np.unique(q, return_index=True, return_counts=True)
-    heavy_qids = uq[cnts > REC_TILE]
+    is_heavy = cnts > REC_TILE
+    if heavy_mask is not None:
+        is_heavy |= heavy_mask[uq]
+    heavy_qids = uq[is_heavy]
     if len(heavy_qids):
-        light = cnts <= REC_TILE
+        light = ~is_heavy
         keep_rec = np.isin(q, uq[light])
         idx = idx[keep_rec]
         q = q[keep_rec]
@@ -324,25 +329,33 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
     from .correction_tpu import correction_tpu, prepare_correction_inputs
     from .rescore_tpu import pack_sequences
 
-    if planes is None:
-        planes, lengths = pack_sequences(seqdb, max_len=bucket_len(
-            int(seqdb.lengths.max()) if len(seqdb) else 1))
     n = len(seqdb)
+    # device plane width is capped at 512: queries longer than the cap
+    # (extended contigs, coverage-sparse) and queries whose stacks touch
+    # longer targets run through the per-query host oracle instead —
+    # the short-read bulk of the DB stays on device in every phase.
+    db_max = int(seqdb.lengths.max()) if n else 1
+    cap = bucket_len(min(512, db_max))
+    if planes is None or planes["sym"].shape[1] > cap:
+        planes, lengths = pack_sequences(seqdb, max_len=cap)
     max_len = planes["sym"].shape[1]
-    if max_len > 512:
-        # long-sequence phases are coverage-sparse (contigs are excluded
-        # as targets): the vectorised host oracle beats the padded device
-        # plane there (measured 0.24s vs 1.3s on the example's contig
-        # phase; the kernel itself stays exact up to MAX_LEN_PALLAS)
-        from ..stages.correction import correction as correction_host
-        return correction_host(seqdb, aln, damage, corr_reads_ry_seq_id,
-                               seq_id_thr)
 
     G, REC_TILE = _tiles_for(max_len)
     rec = prepare_correction_inputs(seqdb, aln, n, corr_reads_ry_seq_id,
                                     seq_id_thr)
+    heavy_mask = None
+    if db_max > max_len:
+        lens_all = seqdb.lengths.astype(np.int64)
+        heavy_mask = lens_all > max_len
+        # queries whose surviving records reference long targets
+        tlen_rec = lens_all[rec["rec_t_row"] % n]
+        bad = rec["rec_keep_pre"] & (tlen_rec > max_len)
+        if bad.any():
+            heavy_mask = heavy_mask.copy()
+            heavy_mask[np.unique(rec["rec_q"][bad])] = True
     blocks = build_correction_blocks(rec, lengths, n, g=G,
-                                     rec_tile=REC_TILE)
+                                     rec_tile=REC_TILE,
+                                     heavy_mask=heavy_mask)
     if blocks is None:
         # no packable query blocks (empty alignment / all filtered / only
         # heavy stacks): the vectorised host oracle is exact and cheap here

@@ -177,7 +177,10 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
             and planes["sym"].shape[1] <= 16384:
         from .ext_pallas import consensus_likelihood_pallas
         from .window_pallas import has_non_acgt_flags, window_identity_pallas
-        flags = has_non_acgt_flags(seqdb)
+        # host recompute for records with non-ACGT chars OR sequences
+        # longer than the plane width (their rows are truncated)
+        flags = has_non_acgt_flags(seqdb) \
+            | (seqdb.lengths.astype(np.int64) > planes["sym"].shape[1])
         seq_id = np.zeros(n_rec, dtype=np.float64)
         ry_seq_id = np.zeros(n_rec, dtype=np.float64)
         rt = np.nonzero(terminal & not_identity)[0]

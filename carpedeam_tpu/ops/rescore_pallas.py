@@ -47,7 +47,11 @@ def _pair_block(max_len: int) -> int:
         return 128
     if max_len <= 2048:
         return 64
-    return 32
+    if max_len <= 4096:
+        return 32
+    if max_len <= 8192:
+        return 16
+    return 8
 
 
 def _roll_rows_left(x, shift, n_bits: int, width: int):
@@ -210,40 +214,93 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# device length levels: pairs are scored in the narrowest level that
+# holds both sequences; beyond the last level the native host scorer
+# takes over (VMEM bound: _pair_block(L) rows of ~10 (B, L) int32
+# intermediates must fit).
+LEN_LEVELS = (512, 2048, 8192, 16384)
+
+
 def rescorediagonal_pallas(seqdb, pref, seq_id_thr, eval_thr=0.001,
                            aln_len_thr=0, planes=None, lengths=None):
     """Pallas drop-in for stages.rescorediagonal.rescorediagonal (same
-    host-side assembly/filter path as ops.rescore_tpu.rescorediagonal_tpu)."""
-    from ..stages.rescorediagonal import assemble_alndb, rescorediagonal
+    host-side assembly/filter path as ops.rescore_tpu.rescorediagonal_tpu).
+
+    Pairs are partitioned by length level (max of the two sequence
+    lengths): the shared whole-DB planes serve the <= 512 level, longer
+    levels pack per-bucket planes holding only the referenced sequences
+    (contig-phase sequences run on device up to 16 kbp; the rare longer
+    ones fall back to the native host scorer, bit-identically)."""
+    from ..stages.rescorediagonal import (_score_pairs_native,
+                                          _score_pairs_numpy,
+                                          assemble_alndb)
     from ..utils import bucket_len, bucket_pairs
     from .rescore_tpu import pack_sequences
 
-    max_len_db = bucket_len(int(seqdb.lengths.max()) if len(seqdb) else 1)
-    if max_len_db > 512:
-        # sparse long-sequence phases (few candidate pairs, mostly-short
-        # reads padded to contig width) run faster on the native host
-        # scorer, which works on true overlap lengths (measured 0.06s vs
-        # 1.3s on the example's contig phase)
-        return rescorediagonal(seqdb, pref, seq_id_thr, eval_thr,
-                               aln_len_thr)
-    if planes is None:
-        planes, lengths = pack_sequences(seqdb, max_len=max_len_db)
     n = len(pref.qkey)
-    np_pad = bucket_pairs(n)
-    qidx = np.zeros(np_pad, dtype=np.int32)
-    tidx = np.zeros(np_pad, dtype=np.int32)
-    diag = np.zeros(np_pad, dtype=np.int32)
-    is_rev = np.zeros(np_pad, dtype=bool)
-    qidx[:n] = seqdb.lookup_keys(pref.qkey)
-    tidx[:n] = seqdb.lookup_keys(pref.tkey)
-    diag[:n] = pref.diag
-    is_rev[:n] = pref.score < 0
-    out = rescore_pairs_pallas(planes["code"], planes["sym"],
-                               lengths.astype(np.int32), qidx, tidx,
-                               diag, is_rev,
-                               max_len=planes["code"].shape[1],
-                               interpret=_use_interpret())
-    packed = np.asarray(out)[:n].astype(np.int32)  # ONE device->host pull
-    raw = unpack_rescore(packed, np.asarray(lengths), qidx[:n], tidx[:n])
+    qidx_all = seqdb.lookup_keys(pref.qkey).astype(np.int32)
+    tidx_all = seqdb.lookup_keys(pref.tkey).astype(np.int32)
+    qlen_all = seqdb.lengths[qidx_all].astype(np.int64)
+    tlen_all = seqdb.lengths[tidx_all].astype(np.int64)
+    pair_max = np.maximum(qlen_all, tlen_all)
+    diag_all = pref.diag.astype(np.int32)
+    rev_all = pref.score < 0
+
+    raw = {f: np.zeros(n, dtype=np.int64) for f in
+           ("score", "qstart", "qend", "tstart", "tend", "aln_len",
+            "id_cnt")}
+    raw["qlen"] = qlen_all
+    raw["tlen"] = tlen_all
+
+    done = np.zeros(n, dtype=bool)
+    for lvl in LEN_LEVELS:
+        rows = np.nonzero(~done & (pair_max <= lvl))[0]
+        done |= pair_max <= lvl
+        if not len(rows):
+            continue
+        if lvl == LEN_LEVELS[0] and planes is not None:
+            pl_b, len_b = planes, np.asarray(lengths)
+            q_b, t_b = qidx_all[rows], tidx_all[rows]
+        else:
+            sub = np.unique(np.concatenate([qidx_all[rows],
+                                            tidx_all[rows]]))
+            remap = np.full(len(seqdb), -1, dtype=np.int32)
+            remap[sub] = np.arange(len(sub), dtype=np.int32)
+            pl_np, len_b = pack_sequences(
+                seqdb, max_len=bucket_len(min(lvl, int(pair_max[rows]
+                                                       .max()))), ids=sub)
+            import jax
+            pl_b = {k: jax.device_put(v) for k, v in pl_np.items()}
+            q_b, t_b = remap[qidx_all[rows]], remap[tidx_all[rows]]
+        m = len(rows)
+        mp = bucket_pairs(m)
+        qi = np.zeros(mp, dtype=np.int32)
+        ti = np.zeros(mp, dtype=np.int32)
+        dg = np.zeros(mp, dtype=np.int32)
+        rv = np.zeros(mp, dtype=bool)
+        qi[:m], ti[:m], dg[:m], rv[:m] = q_b, t_b, diag_all[rows], \
+            rev_all[rows]
+        out = rescore_pairs_pallas(pl_b["code"], pl_b["sym"],
+                                   len_b.astype(np.int32), qi, ti, dg, rv,
+                                   max_len=pl_b["code"].shape[1],
+                                   interpret=_use_interpret())
+        packed = np.asarray(out)[:m].astype(np.int64)
+        for i, f in enumerate(RESCORE_FIELDS):
+            raw[f][rows] = packed[:, i]
+        raw["qend"][rows] = raw["qstart"][rows] + raw["aln_len"][rows] - 1
+        raw["tend"][rows] = raw["tstart"][rows] + raw["aln_len"][rows] - 1
+
+    rest = np.nonzero(~done)[0]
+    if len(rest):
+        # beyond the device levels: native host scorer on those rows only
+        sub_pref = type(pref)(qkey=pref.qkey[rest], tkey=pref.tkey[rest],
+                              score=pref.score[rest], diag=pref.diag[rest],
+                              starts=np.array([0, len(rest)], np.int64),
+                              qkeys=pref.qkeys[:1], qext=pref.qext[:1])
+        sraw = _score_pairs_native(seqdb, sub_pref)
+        if sraw is None:
+            sraw = _score_pairs_numpy(seqdb, sub_pref)
+        for f in raw:
+            raw[f][rest] = sraw[f].astype(np.int64)
     return assemble_alndb(seqdb, pref, raw, seq_id_thr, eval_thr,
                           aln_len_thr)

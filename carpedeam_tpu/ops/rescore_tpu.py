@@ -34,18 +34,25 @@ _CHAR_REVCOMP_X = _DECODE_X[COMPLEMENT_CODE[CHAR_TO_CODE]]
 _UPPER = (np.arange(256) & ~0x20).astype(np.uint8)
 
 
-def pack_sequences(seqdb, max_len=None):
+def pack_sequences(seqdb, max_len=None, ids=None):
     """Host-side: SeqDB -> dict of stacked device planes + lengths.
 
     Returns (planes, lengths) where planes = {"code": (2N, L) uint8,
     "sym": (2N, L) uint8}; rows [0, N) are forward, rows [N, 2N) are the
-    row-reversed reverse complements.
+    row-reversed reverse complements.  `ids` restricts packing to a row
+    subset (for per-length-bucket planes); rows longer than max_len are
+    truncated (callers must route such rows to a wider bucket).
     """
-    n = len(seqdb)
+    if ids is None:
+        n = len(seqdb)
+        lengths = seqdb.lengths.astype(np.int64)
+        offsets = seqdb.offsets.astype(np.int64)
+    else:
+        n = len(ids)
+        lengths = seqdb.lengths[ids].astype(np.int64)
+        offsets = seqdb.offsets[ids].astype(np.int64)
     if max_len is None:
-        max_len = int(seqdb.lengths.max()) if n else 1
-    lengths = seqdb.lengths.astype(np.int64)
-    offsets = seqdb.offsets.astype(np.int64)
+        max_len = int(lengths.max()) if n else 1
     sym = np.zeros((n, max_len), dtype=np.uint8)
     sym_rc = np.zeros((n, max_len), dtype=np.uint8)
     if n:
@@ -62,7 +69,7 @@ def pack_sequences(seqdb, max_len=None):
     code_rc = CHAR_TO_CODE[sym_rc]
     planes = {"code": np.concatenate([code, code_rc]),
               "sym": np.concatenate([sym, sym_rc])}
-    return planes, seqdb.lengths.astype(np.int32)
+    return planes, lengths.astype(np.int32)
 
 
 @partial(jax.jit, static_argnames=("max_len",))

@@ -113,11 +113,10 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
 
         from .ops.rescore_tpu import pack_sequences
         from .utils import bucket_len
-        max_len = bucket_len(int(db.lengths.max()))
-        if max_len > 512:
-            # the device stages route wide sparse phases to the host
-            # implementations, which don't use the planes
-            return {}
+        # plane width is capped at 512: the short-read bulk stays device-
+        # resident in every phase; stages route records touching longer
+        # sequences to wider per-bucket planes or the host oracles
+        max_len = bucket_len(min(512, int(db.lengths.max())))
         planes, lengths = pack_sequences(db, max_len=max_len)
         planes = {k: jax.device_put(v) for k, v in planes.items()}
         return {"planes": planes, "lengths": lengths}
