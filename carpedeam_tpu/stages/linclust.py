@@ -208,21 +208,44 @@ def align_filter(seqdb: SeqDB, pref: PrefDB, seq_id_thr: float,
                 if best is None or score > best[0]:
                     ids = int((qw == tw).sum())
                     best = (score, cand, n, ids)
-            if best is None or best[0] == 0:
+            if best is None:
                 continue
             score, cand, n, ids = best
-            seq_id = np.float32(ids) / np.float32(n)
-            qcov = np.float32(n) / np.float32(L)
-            tcov = np.float32(n) / np.float32(tlen)
-            if cov_mode == 1:
-                has_cov = tcov >= cov_thr
-            elif cov_mode == 2:
-                has_cov = qcov >= cov_thr
-            else:
-                has_cov = (qcov >= cov_thr) and (tcov >= cov_thr)
-            e = float(ev.evalue(float(score), float(L), db_res))
-            if has_cov and seq_id >= (np.float32(seq_id_thr) - _EPS) \
-                    and e <= eval_thr:
+
+            def passes(sid, n_q, n_t, sc):
+                qcov = np.float32(n_q) / np.float32(L)
+                tcov = np.float32(n_t) / np.float32(tlen)
+                if cov_mode == 1:
+                    has_cov = tcov >= cov_thr
+                elif cov_mode == 2:
+                    has_cov = qcov >= cov_thr
+                else:
+                    has_cov = (qcov >= cov_thr) and (tcov >= cov_thr)
+                e = float(ev.evalue(float(sc), float(L), db_res))
+                return has_cov and sid >= (np.float32(seq_id_thr) - _EPS) \
+                    and e <= eval_thr
+
+            accept = score > 0 and passes(
+                np.float32(ids) / np.float32(n), n, n, score)
+            if not accept:
+                # gapped rescue: banded affine DP around the anchor
+                # diagonal, like the reference's BandedNucleotideAligner/
+                # ksw2 align stage (indels between near-duplicates make
+                # the ungapped diagonal under-count identity)
+                from ..ops.banded_align import banded_align
+                dist = abs(cand)
+                if cand >= 0:
+                    q_sub, t_sub = qb[dist:], tbytes
+                else:
+                    q_sub, t_sub = qb, tbytes[dist:]
+                s2, qe2, te2, id2, alen2 = banded_align(
+                    CHAR_TO_CODE[q_sub], CHAR_TO_CODE[t_sub])
+                if s2 > 0 and alen2 > 0:
+                    sid2 = np.float32(id2) / np.float32(alen2)
+                    if passes(sid2, qe2 + 1, te2 + 1, s2):
+                        accept = True
+                        score = s2
+            if accept:
                 rows["qkey"].append(qkey); rows["tkey"].append(tkey)
                 rows["score"].append(score); rows["diag"].append(int(np.int16(cand)))
                 n_out += 1
