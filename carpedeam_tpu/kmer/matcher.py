@@ -439,16 +439,23 @@ def kmermatcher(seqdb: SeqDB, k: int, kmers_per_sequence: int,
         # a ~5min compile and a D2H pull that dwarf the host lexsort even
         # at 7M+ entries; keep the device sort opt-in
         device_sort = False
+    if not device_sort:
+        from .. import native
+        scan = native.kmermatcher_scan(ent["kmer"], ent["id"], ent["pos"],
+                                       ent["seq_len"], seqdb.keys,
+                                       include_only_extendable, cov_mode,
+                                       cov_thr)
+        if scan is not None:
+            # fused native path: sort + assignGroup + pair sort + scan in
+            # one pass (no NumPy temporaries — at 32M entries the Python
+            # assign_groups route costs ~130 s, this ~8 s)
+            return _pref_from_scan(seqdb, scan)
     if device_sort:
         order = sort_kmer_entries_device(ent)
     else:
-        from .. import native
-        order = native.sort_kmer_entries(ent["kmer"], ent["id"], ent["pos"],
-                                         ent["seq_len"])
-        if order is None:
-            order = np.lexsort((ent["pos"], ent["id"],
-                                -ent["seq_len"].astype(np.int64),
-                                ent["kmer"] | BIT63))
+        order = np.lexsort((ent["pos"], ent["id"],
+                            -ent["seq_len"].astype(np.int64),
+                            ent["kmer"] | BIT63))
     kmer = ent["kmer"][order]
     ids = ent["id"][order]
     pos = ent["pos"][order]
@@ -480,35 +487,41 @@ def build_pref_db(seqdb: SeqDB, centre_id, centre_fwd, member_id,
     scan = native.build_pref_scan(c, f, m, d, seqdb.keys) \
         if len(c) else None
     if scan is not None:
-        qkey_r, tkey_r, score_r, diag_r, grs, gcentre = scan
-        n_rows = len(qkey_r)
-        starts_np = np.concatenate([grs, [n_rows]])
-        out_qkeys_np = seqdb.keys[gcentre]
-        qext_np = np.zeros(len(gcentre), dtype=bool)
-        # sequences never written as a centre: empty self-hit,
-        # wasExtended passthrough (:716-729, "Louis was here")
-        missing = np.setdiff1d(np.arange(len(seqdb), dtype=np.int64),
-                               gcentre, assume_unique=False)
-        if len(missing):
-            mk = seqdb.keys[missing].astype(np.uint32)
-            qkey_r = np.concatenate([qkey_r, mk])
-            tkey_r = np.concatenate([tkey_r, mk])
-            score_r = np.concatenate([score_r,
-                                      np.zeros(len(missing), np.int32)])
-            diag_r = np.concatenate([diag_r,
-                                     np.zeros(len(missing), np.int32)])
-            starts_np = np.concatenate([
-                starts_np, starts_np[-1] + 1 + np.arange(len(missing))])
-            out_qkeys_np = np.concatenate([out_qkeys_np, mk])
-            qext_np = np.concatenate([qext_np, seqdb.ext[missing]])
-        return PrefDB(qkey=qkey_r.astype(np.uint32),
-                      tkey=tkey_r.astype(np.uint32),
-                      score=score_r.astype(np.int32),
-                      diag=diag_r.astype(np.int32),
-                      starts=starts_np.astype(np.int64),
-                      qkeys=out_qkeys_np.astype(np.uint32),
-                      qext=qext_np)
+        return _pref_from_scan(seqdb, scan)
     return _build_pref_db_python(seqdb, c, f, m, d)
+
+
+def _pref_from_scan(seqdb: SeqDB, scan: tuple) -> PrefDB:
+    """Finish a native scan result (rows + per-centre group info) into a
+    PrefDB, appending the missing-centre passthrough rows."""
+    qkey_r, tkey_r, score_r, diag_r, grs, gcentre = scan
+    n_rows = len(qkey_r)
+    starts_np = np.concatenate([grs, [n_rows]])
+    out_qkeys_np = seqdb.keys[gcentre]
+    qext_np = np.zeros(len(gcentre), dtype=bool)
+    # sequences never written as a centre: empty self-hit,
+    # wasExtended passthrough (:716-729, "Louis was here")
+    missing = np.setdiff1d(np.arange(len(seqdb), dtype=np.int64),
+                           gcentre, assume_unique=False)
+    if len(missing):
+        mk = seqdb.keys[missing].astype(np.uint32)
+        qkey_r = np.concatenate([qkey_r, mk])
+        tkey_r = np.concatenate([tkey_r, mk])
+        score_r = np.concatenate([score_r,
+                                  np.zeros(len(missing), np.int32)])
+        diag_r = np.concatenate([diag_r,
+                                 np.zeros(len(missing), np.int32)])
+        starts_np = np.concatenate([
+            starts_np, starts_np[-1] + 1 + np.arange(len(missing))])
+        out_qkeys_np = np.concatenate([out_qkeys_np, mk])
+        qext_np = np.concatenate([qext_np, seqdb.ext[missing]])
+    return PrefDB(qkey=qkey_r.astype(np.uint32),
+                  tkey=tkey_r.astype(np.uint32),
+                  score=score_r.astype(np.int32),
+                  diag=diag_r.astype(np.int32),
+                  starts=starts_np.astype(np.int64),
+                  qkeys=out_qkeys_np.astype(np.uint32),
+                  qext=qext_np)
 
 
 def _build_pref_db_python(seqdb: SeqDB, c, f, m, d) -> PrefDB:

@@ -19,7 +19,8 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["kmer_select.cpp", "host_kernels.cpp", "prepass.cpp"]
+_SOURCES = ["kmer_select.cpp", "host_kernels.cpp", "prepass.cpp",
+            "kmer_pairs.cpp"]
 _LOCK = threading.Lock()
 _LIB = None
 _BUILD_FAILED = False
@@ -116,6 +117,12 @@ def get_lib():
         lib.sort_kmer_entries.argtypes = [_u64p, _i64p, _i32p, _i32p,
                                           ctypes.c_int64, _i64p]
         lib.sort_kmer_entries.restype = None
+        _u32p2 = ctypes.POINTER(ctypes.c_uint32)
+        lib.kmermatcher_scan.argtypes = [
+            _u64p, _i64p, _i32p, _i32p, ctypes.c_int64, _u32p2,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+            _u32p2, _u32p2, _i32p, _i32p, _i64p, _i64p, _i64p]
+        lib.kmermatcher_scan.restype = ctypes.c_int64
         _LIB = lib
         return _LIB
 
@@ -373,6 +380,40 @@ def kmer_extract(data, offsets, lengths, k: int, seed: int,
         "seq_len": lengths[ids].astype(np.int32),
         "h16": h16_o[keep],
     }
+
+
+def kmermatcher_scan(kmer, ids, pos, seq_len, keys,
+                     include_only_extendable: bool, cov_mode: int,
+                     cov_thr: float) -> tuple | None:
+    """Fused sort + assignGroup + pair sort + writeKmerMatcherResult scan
+    over raw (unsorted) k-mer entries; returns the same tuple as
+    build_pref_scan or None if no native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _u32p = ctypes.POINTER(ctypes.c_uint32)
+    n = len(kmer)
+    cap = 2 * n + 2
+    qkey = np.zeros(cap, dtype=np.uint32)
+    tkey = np.zeros(cap, dtype=np.uint32)
+    score = np.zeros(cap, dtype=np.int32)
+    diag = np.zeros(cap, dtype=np.int32)
+    grs = np.zeros(n + 1, dtype=np.int64)
+    gc = np.zeros(n + 1, dtype=np.int64)
+    ng = np.zeros(1, dtype=np.int64)
+    n_rows = lib.kmermatcher_scan(
+        _as(kmer, np.uint64, _u64p), _as(ids, np.int64, _i64p),
+        _as(pos, np.int32, _i32p), _as(seq_len, np.int32, _i32p), n,
+        _as(keys, np.uint32, _u32p),
+        1 if include_only_extendable else 0, cov_mode,
+        ctypes.c_float(cov_thr),
+        qkey.ctypes.data_as(_u32p), tkey.ctypes.data_as(_u32p),
+        score.ctypes.data_as(_i32p), diag.ctypes.data_as(_i32p),
+        grs.ctypes.data_as(_i64p), gc.ctypes.data_as(_i64p),
+        ng.ctypes.data_as(_i64p))
+    g = int(ng[0])
+    return (qkey[:n_rows], tkey[:n_rows], score[:n_rows], diag[:n_rows],
+            grs[:g], gc[:g])
 
 
 def sort_kmer_entries(kmer, ids, pos, seq_len) -> np.ndarray | None:
