@@ -20,7 +20,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SOURCES = ["kmer_select.cpp", "host_kernels.cpp", "prepass.cpp",
-            "kmer_pairs.cpp"]
+            "kmer_pairs.cpp", "banded.cpp"]
 _LOCK = threading.Lock()
 _LIB = None
 _BUILD_FAILED = False
@@ -123,6 +123,11 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
             _u32p2, _u32p2, _i32p, _i32p, _i64p, _i64p, _i64p]
         lib.kmermatcher_scan.restype = ctypes.c_int64
+        lib.banded_align_one.argtypes = [
+            _u8p, ctypes.c_int64, _u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            _i64p]
+        lib.banded_align_one.restype = None
         _LIB = lib
         return _LIB
 
@@ -429,3 +434,19 @@ def sort_kmer_entries(kmer, ids, pos, seq_len) -> np.ndarray | None:
         _as(pos, np.int32, _i32p), _as(seq_len, np.int32, _i32p), n,
         order.ctypes.data_as(_i64p))
     return order
+
+
+def banded_align_one(q, t, band: int, match: int, mismatch: int,
+                     gapo: int, gape: int) -> tuple | None:
+    """Banded affine-gap alignment of one code-array pair (the Python
+    oracle lives in ops/banded_align.py); returns
+    (score, q_end, t_end, n_ident, aln_len) or None if no native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros(5, dtype=np.int64)
+    lib.banded_align_one(
+        _as(q, np.uint8, _u8p), len(q), _as(t, np.uint8, _u8p), len(t),
+        band, match, mismatch, gapo, gape, out.ctypes.data_as(_i64p))
+    return (int(out[0]), int(out[1]), int(out[2]), int(out[3]),
+            int(out[4]))

@@ -2,29 +2,52 @@
 
 TPU-native re-design of the reference's hot kernel #1
 (lib/mmseqs/src/linclust/kmermatcher.cpp:78-930), bit-identical to the
-host implementation in kmer/matcher.py (itself bit-exact vs the C++):
+host implementation in kmer/matcher.py (itself bit-exact vs the C++).
 
-  1. window extraction / 2-bit packing / canonicalisation / xxh64
-     scoring as fused elementwise u32-pair chains over (B, L) sequence
-     planes (ops/u64.py emulates the 64-bit ops TPUs lack);
+Architecture (v2).  TPU's XLA sort only has a fast lowering for the
+two-operand `sort_key_val` form — every variadic/multi-key sort
+comparator hits a pathological compile path (measured: a 3-operand sort
+at 2^18 rows fails to compile in 10 minutes; (u64 key, i32 payload)
+compiles in ~30 s and sorts 2^25 rows in 0.18 s).  So every ordering
+step here is expressed as stable (u64 packed key, i32 permutation)
+passes, and all other attributes are *packed into the sorted key* or
+reconstructed by fill-forward `cummax` scans — never gathered unless
+unavoidable (one u64 gather per global-sort pass):
+
+  1. window extraction / 2-bit packing / canonicalisation / xxh64 as
+     native-u64 elementwise chains over (B, L) sequence planes (XLA
+     emulates u64 as u32 pairs — same cost as hand-written emulation,
+     half the code);
   2. the per-sequence subsampling walk (kmermatcher.cpp:226-350) as a
      batched `lax.scan` state machine over hash-sorted window rows.
      The reference's 65536-bin histogram threshold provably collapses
      to `threshold = sorted_hash[considered-1] + 1` and
-     `too_much = rank(threshold) - considered` (see _selection_scan);
-  3. the global k-mer table sort (the ips4o SORT_PARALLEL analogue,
-     :409-415) as one multi-key `lax.sort`;
-  4. group -> centre assignment with the 4-case strand table (:453-562)
-     as elementwise/cumulative ops;
-  5. the per-(centre,member) best-diagonal lookahead scan (:841-929,
+     `too_much = rank(threshold) - considered` (see _select_u64);
+     per-row sorting = two LSD (key, perm) passes by pos then
+     (h16 << 2k | canonical kmer) — one u64 key since 16 + 2k <= 64;
+  3. per-bucket compaction: selected windows are moved to the first
+     `cap` columns before flattening, so the global table scales with
+     the SELECTED count, not total windows, when subsampling bites
+     (long sequences / contig phase);
+  4. the global k-mer table sort (the ips4o SORT_PARALLEL analogue,
+     :409-415) as two stable u64 passes: wB = (len desc, id, pos)
+     packed, then wA = the 63-bit masked k-mer (identical to the host
+     key `kmer | BIT63` minus the constant bit).  Strand rides in the
+     low bit of the payload word, outside the comparison key, exactly
+     like the host lexsort;
+  5. group -> centre assignment with the 4-case strand table (:453-562)
+     as elementwise ops + an i32 `cummax` of group-head indices and
+     small gathers of head attributes;
+  6. the per-(centre,member) best-diagonal lookahead scan (:841-929,
      including the look-ahead-overruns-group quirk) as segmented
-     suffix-argmax scans — each pair's window is the member-run suffix
-     starting at the pair's first entry, the best diagonal run is the
-     lexicographic (count, position) maximum over that window.
+     suffix-argmax scans;
+  7. final PrefDB ordering (centres ascending, self row first, members
+     ascending, missing-centre passthroughs appended, :716-729 +
+     :815-930) via exclusive-cumsum destination indices + two u64
+     scatters — replacing a third global sort.
 
 `kmermatcher_device` returns the same PrefDB as kmer.matcher.kmermatcher
-(oracle-tested bit-identical); `kmermatcher_device_arrays` keeps the
-result rows on the device for the fused device-resident iteration.
+(oracle-tested bit-identical in tests/test_kmer_device.py).
 """
 from __future__ import annotations
 
@@ -34,11 +57,60 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import u64
-
 I32 = jnp.int32
-U32 = jnp.uint32
-_INVALID = jnp.uint32(0xFFFFFFFF)
+U64 = jnp.uint64
+ALL1 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# global packing widths (static): id < 2^B_ID, plane length < 2^B_LEN
+B_ID = 21
+B_LEN = 19
+
+
+def _u64(v: int):
+    return jnp.uint64(v)
+
+
+# ---------------------------------------------------------------------------
+# native-u64 kmer helpers (bit-exact vs kmer/xxh64.py and kmer/packing.py)
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(v, r: int):
+    return (v << _u64(r)) | (v >> _u64(64 - r))
+
+
+def _xxh64_u64(v, seed: int):
+    """XXH64 of each u64 with an 8-byte input (kmer/xxh64.xxh64_u64)."""
+    k1 = _rotl(v * _u64(_P2), 31) * _u64(_P1)
+    acc = _u64((_P5 + seed + 8) & 0xFFFFFFFFFFFFFFFF) ^ k1
+    acc = _rotl(acc, 27) * _u64(_P1) + _u64(_P4)
+    acc = acc ^ (acc >> _u64(33))
+    acc = acc * _u64(_P2)
+    acc = acc ^ (acc >> _u64(29))
+    acc = acc * _u64(_P3)
+    acc = acc ^ (acc >> _u64(32))
+    return acc
+
+
+def _revcomp(idx, k: int):
+    """Packed-kmer reverse complement (Util.cpp:601-640 bit tricks)."""
+    x = idx ^ _u64(0xAAAAAAAAAAAAAAAA)
+    m2 = _u64(0x3333333333333333)
+    m4 = _u64(0x0F0F0F0F0F0F0F0F)
+    x = ((x >> _u64(2)) & m2) | ((x & m2) << _u64(2))
+    x = ((x >> _u64(4)) & m4) | ((x & m4) << _u64(4))
+    mb1 = _u64(0x00FF00FF00FF00FF)
+    mb2 = _u64(0x0000FFFF0000FFFF)
+    x = ((x >> _u64(8)) & mb1) | ((x & mb1) << _u64(8))
+    x = ((x >> _u64(16)) & mb2) | ((x & mb2) << _u64(16))
+    x = (x >> _u64(32)) | (x << _u64(32))
+    return x >> _u64(64 - 2 * k)
 
 
 # ---------------------------------------------------------------------------
@@ -49,34 +121,33 @@ _INVALID = jnp.uint32(0xFFFFFFFF)
 def _identity_hash(codes, lengths, hash_shift: int):
     """Util::hash h = h*31 + code over the true length, then xxh64."""
     B, L = codes.shape
-    c32 = codes.astype(U32)
-    thirty_one = u64.const(31)
+    c64 = codes.astype(U64)
 
     def hstep(h, col):
         x, active = col
-        nh = u64.add(u64.mul(h, thirty_one), (jnp.zeros_like(x), x))
-        return u64.where(active, nh, h), None
+        return jnp.where(active, h * _u64(31) + x, h), None
 
     pos_l = jnp.arange(L, dtype=I32)
     active_cols = pos_l[None, :] < lengths.astype(I32)[:, None]
-    h0 = (jnp.zeros(B, U32), jnp.zeros(B, U32))
-    (ih_hi, ih_lo), _ = jax.lax.scan(hstep, h0, (c32.T, active_cols.T))
-    return u64.xxh64_u64((ih_hi, ih_lo), hash_shift)
+    h0 = jnp.zeros(B, U64)
+    ih, _ = jax.lax.scan(hstep, h0, (c64.T, active_cols.T))
+    return _xxh64_u64(ih, hash_shift)
 
 
 @partial(jax.jit, static_argnames=("k", "hash_shift"))
 def _windows_bucket(codes, lengths, k: int, hash_shift: int):
-    """All windows: pack, canonicalise, hash, strand-resolve; returns
-    pre-sort per-window arrays plus row-sort keys."""
+    """All windows: pack, canonicalise, hash, strand-resolve.
+
+    Returns (key2, pos_strand): key2 = (h16 << 2k) | canonical kmer
+    (ALL1 for invalid windows), pos_strand = (pos_f << 1) | fwd_bit.
+    """
     B, L = codes.shape
     W = L - k + 1
-    c32 = codes.astype(U32)
+    c64 = codes.astype(U64)
     lengths = lengths.astype(I32)
-    kh = jnp.zeros((B, W), U32)
-    kl = jnp.zeros((B, W), U32)
+    kmer = jnp.zeros((B, W), U64)
     for j in range(k):
-        kh, kl = u64.shl((kh, kl), 2)
-        kl = kl | c32[:, j:j + W]
+        kmer = (kmer << _u64(2)) | c64[:, j:j + W]
     isx = (codes > 3).astype(I32)
     csum = jnp.concatenate(
         [jnp.zeros((B, 1), I32), jnp.cumsum(isx, axis=1)], axis=1)
@@ -84,27 +155,40 @@ def _windows_bucket(codes, lengths, k: int, hash_shift: int):
     pos = jnp.arange(W, dtype=I32)[None, :]
     inside = pos + k <= lengths[:, None]
 
-    canon, pick_rev, palin = u64.canonicalize((kh, kl), k)
+    rc = _revcomp(kmer, k)
+    palin = rc == kmer
+    pick_rev = rc < kmer
+    canon = jnp.minimum(rc, kmer)
     keep = no_x & inside & ~palin
     pos_f = jnp.where(pick_rev, lengths[:, None] - pos - k, pos)
-    h16 = u64.hash16(canon, hash_shift)
-    kf_hi = jnp.where(pick_rev, canon[0], canon[0] | U32(0x80000000))
-    sk0 = jnp.where(keep, h16, _INVALID)
-    sk1 = jnp.where(keep, canon[0] | U32(0x80000000), _INVALID)
-    return sk0, sk1, canon[1], pos_f, kf_hi, h16
+    h16 = _xxh64_u64(canon, hash_shift) & _u64(0xFFFF)
+    key2 = jnp.where(keep, (h16 << _u64(2 * k)) | canon, ALL1)
+    fwd = jnp.where(pick_rev, 0, 1).astype(jnp.uint32)
+    pos_strand = (pos_f.astype(jnp.uint32) << jnp.uint32(1)) | fwd
+    return key2, pos_strand
 
 
 @jax.jit
-def _rowsort_bucket(sk0, sk1, kf_lo, pos_f, kf_hi, h16):
-    """Per-row sort by (hash, kmer|b63, pos); invalid rows to the end."""
-    return jax.lax.sort((sk0, sk1, kf_lo, pos_f, kf_hi, h16),
-                        dimension=1, num_keys=4, is_stable=True)
+def _rowsort_bucket(key2, pos_strand):
+    """Per-row stable sort by (h16, kmer|b63, pos_f); invalid to the end.
+
+    Two LSD (key, perm) passes: pos_f (u32), then key2 (u64)."""
+    B, W = key2.shape
+    iota = jnp.broadcast_to(jnp.arange(W, dtype=I32)[None, :], (B, W))
+    pos_key = pos_strand >> jnp.uint32(1)
+    _, perm1 = jax.lax.sort((pos_key, iota), dimension=1, num_keys=1,
+                            is_stable=True)
+    key2p = jnp.take_along_axis(key2, perm1, axis=1)
+    key2s, perm = jax.lax.sort((key2p, perm1), dimension=1, num_keys=1,
+                               is_stable=True)
+    ps_s = jnp.take_along_axis(pos_strand, perm, axis=1)
+    return key2s, ps_s
 
 
-@partial(jax.jit, static_argnames=("kmers_per_sequence",
+@partial(jax.jit, static_argnames=("k", "kmers_per_sequence",
                                    "kmers_per_sequence_scale"))
-def _select_bucket(sk0, kl_s, kfh_s, h16_s, lengths,
-                   kmers_per_sequence: int, kmers_per_sequence_scale: float):
+def _select_bucket(key2s, lengths, k: int, kmers_per_sequence: int,
+                   kmers_per_sequence_scale: float):
     """Subsampling walk (kmermatcher.cpp:226-350) over hash-sorted rows.
 
     The reference's 65536-bin histogram threshold collapses exactly to
@@ -113,8 +197,10 @@ def _select_bucket(sk0, kl_s, kfh_s, h16_s, lengths,
     the smallest x with C(x) >= considered) and
     `too_much = rank(threshold) - considered`.
     """
-    B, W = sk0.shape
-    keep_s = sk0 != _INVALID
+    B, W = key2s.shape
+    keep_s = key2s != ALL1
+    h16 = jnp.where(keep_s, (key2s >> _u64(2 * k)).astype(I32),
+                    jnp.int32(65536))
     valid_cnt = jnp.sum(keep_s.astype(I32), axis=1)
     considered = jnp.minimum(
         (jnp.float32(kmers_per_sequence - 1)
@@ -123,18 +209,17 @@ def _select_bucket(sk0, kl_s, kfh_s, h16_s, lengths,
         valid_cnt)
 
     gi = jnp.clip(considered - 1, 0, W - 1)
-    t_hash = jnp.take_along_axis(sk0, gi[:, None], axis=1)[:, 0]
-    thr0 = jnp.where(considered > 0, t_hash.astype(I32) + 1, 0)
-    rank = jnp.sum((sk0 < thr0.astype(U32)[:, None]).astype(I32), axis=1)
+    t_hash = jnp.take_along_axis(h16, gi[:, None], axis=1)[:, 0]
+    thr0 = jnp.where(considered > 0, t_hash + 1, 0)
+    rank = jnp.sum((h16 < thr0[:, None]).astype(I32), axis=1)
     too_much0 = jnp.where(considered > 0, rank - considered, 0)
 
     # cursor semantics: a run of equal masked k-mers encountered at the
     # cursor is skipped and the first different element is processed
-    # unconditionally (even if it starts a new run).
-    mh_s = kfh_s | U32(0x80000000)
+    # unconditionally (even if it starts a new run).  key2 equality ==
+    # masked-kmer equality (h16 is a function of the kmer).
     eq_next = jnp.concatenate(
-        [(mh_s[:, 1:] == mh_s[:, :-1]) & (kl_s[:, 1:] == kl_s[:, :-1])
-         & keep_s[:, 1:],
+        [(key2s[:, 1:] == key2s[:, :-1]) & keep_s[:, 1:],
          jnp.zeros((B, 1), bool)], axis=1)
     eq_prev = jnp.concatenate(
         [jnp.zeros((B, 1), bool), eq_next[:, :-1]], axis=1)
@@ -145,8 +230,8 @@ def _select_bucket(sk0, kl_s, kfh_s, h16_s, lengths,
         landed = in_skip & ~prv
         enter_skip = ~in_skip & nxt
         process = (landed | (~in_skip & ~nxt)) & vld & (sel < considered)
-        hit = process & (h.astype(I32) < thr)
-        is_tm = hit & (h.astype(I32) == thr - 1) & (too_much != 0)
+        hit = process & (h < thr)
+        is_tm = hit & (h == thr - 1) & (too_much != 0)
         too_much = jnp.where(is_tm, too_much - 1, too_much)
         thr = jnp.where(is_tm & (too_much == 0), thr - 1, thr)
         sel = sel + hit.astype(I32)
@@ -155,95 +240,117 @@ def _select_bucket(sk0, kl_s, kfh_s, h16_s, lengths,
 
     init = (jnp.zeros(B, bool), jnp.zeros(B, I32), thr0, too_much0)
     _, hits = jax.lax.scan(
-        sstep, init, (h16_s.T, eq_next.T, eq_prev.T, keep_s.T))
+        sstep, init, (h16.T, eq_next.T, eq_prev.T, keep_s.T))
     return hits.T
 
 
-def extract_select_bucket(codes, lengths, k: int, hash_shift: int,
-                          kmers_per_sequence: int,
-                          kmers_per_sequence_scale: float):
-    """codes (B, L) int8 in 0..4 (X=4), lengths (B,).
+@jax.jit
+def _compact_bucket(key2s, ps_s, hits):
+    """Move selected windows to the front columns (stable); the caller
+    slices to the selection cap so the flat table scales with the
+    selected count, not the window count."""
+    B, W = key2s.shape
+    iota = jnp.broadcast_to(jnp.arange(W, dtype=I32)[None, :], (B, W))
+    skey = jnp.where(hits, jnp.uint32(0), jnp.uint32(1))
+    _, perm = jax.lax.sort((skey, iota), dimension=1, num_keys=1,
+                           is_stable=True)
+    k2c = jnp.take_along_axis(key2s, perm, axis=1)
+    psc = jnp.take_along_axis(ps_s, perm, axis=1)
+    selcnt = jnp.sum(hits.astype(I32), axis=1)
+    return k2c, psc, selcnt
 
-    Returns per-window arrays in per-sequence (hash, kmer|b63, pos) sorted
-    order: kmer hi/lo (with the strand bit-63 convention), pos, h16 and the
-    `selected` mask, plus the per-sequence identity-entry hash hi/lo.
-    (Phased as several jits: one fused graph made XLA's optimisation
-    passes explode superlinearly — 280 s vs 16 s compile.)
+
+@partial(jax.jit, static_argnames=("k",))
+def _flatten_bucket(key2c, psc, selcnt, ids_pad, lengths, k: int):
+    """Per-bucket selected windows + identity row -> flat (wA, wB2).
+
+    wA = low-63-bit masked kmer (host key `kmer | BIT63` minus the
+    constant bit63); wB2 = ((LMAX-len) << (B_ID+B_LEN+1)) |
+    (id << (B_LEN+1)) | (pos_f << 1) | fwd.  Unselected/phantom -> ALL1.
     """
-    id_hash = _identity_hash(codes, lengths, hash_shift)
-    pre = _windows_bucket(codes, lengths, k, hash_shift)
-    sk0, sk1, kl_s, pos_s, kfh_s, h16_s = _rowsort_bucket(*pre)
-    selected = _select_bucket(sk0, kl_s, kfh_s, h16_s,
-                              jnp.asarray(lengths), kmers_per_sequence,
-                              float(kmers_per_sequence_scale))
-    return {"kmer_hi": kfh_s, "kmer_lo": kl_s, "pos": pos_s,
-            "h16": h16_s, "selected": selected,
-            "id_hash_hi": id_hash[0], "id_hash_lo": id_hash[1]}
+    B, W = key2c.shape
+    col = jnp.arange(W, dtype=I32)[None, :]
+    sel = (col < selcnt[:, None]) & (key2c != ALL1)
+    canon = key2c & _u64((1 << (2 * k)) - 1)
+    pos_f = (psc >> jnp.uint32(1)).astype(U64)
+    fwd = (psc & jnp.uint32(1)).astype(U64)
+    lmax = _u64((1 << B_LEN) - 1)
+    len64 = lengths.astype(U64)[:, None]
+    id64 = ids_pad.astype(U64)[:, None]
+    wb2 = ((lmax - len64) << _u64(B_ID + B_LEN + 1)) \
+        | (id64 << _u64(B_LEN + 1)) | (pos_f << _u64(1)) | fwd
+    wa = jnp.where(sel, canon, ALL1)
+    wb2 = jnp.where(sel, wb2, ALL1)
+    return wa.ravel(), wb2.ravel()
+
+
+@jax.jit
+def _identity_rows(id_hash, ids_pad, lengths, phantom):
+    """Identity entries: wA = hash & ~BIT63, strand = hash >> 63."""
+    lmax = _u64((1 << B_LEN) - 1)
+    wa = id_hash & _u64(0x7FFFFFFFFFFFFFFF)
+    wb2 = ((lmax - lengths.astype(U64)) << _u64(B_ID + B_LEN + 1)) \
+        | (ids_pad.astype(U64) << _u64(B_LEN + 1)) \
+        | (id_hash >> _u64(63))
+    wa = jnp.where(phantom, ALL1, wa)
+    wb2 = jnp.where(phantom, ALL1, wb2)
+    return wa, wb2
 
 
 # ---------------------------------------------------------------------------
 # stage 3+4: global sort + group assignment (flat table)
 # ---------------------------------------------------------------------------
 
-def _seg_suffix_argmax(s, j_idx, seg_start_rev_mask):
-    """Per-element suffix (towards larger j) lexicographic max of (s, j)
-    within segments, where segments are delimited (in reverse direction)
-    by seg_start_rev_mask.  Implemented as a reversed segmented
-    associative scan."""
-    def combine(a, b):
-        # scanning reversed arrays: `a` is the accumulation from elements
-        # AFTER (in original order) — reset if b starts a new segment
-        a_s, a_j, a_f = a
-        b_s, b_j, b_f = b
-        take_b = b_f | (b_s > a_s) | ((b_s == a_s) & (b_j > a_j))
-        return (jnp.where(take_b, b_s, a_s),
-                jnp.where(take_b, b_j, a_j),
-                a_f | b_f)
-
-    rs = s[::-1]
-    rj = j_idx[::-1]
-    rf = seg_start_rev_mask[::-1]
-    out = jax.lax.associative_scan(combine, (rs, rj, rf))
-    return out[0][::-1], out[1][::-1]
-
-
 @jax.jit
-def _global_sort(pad, kmer_hi, kmer_lo, ids, pos, seq_len):
-    """Global sort by (pad, kmer|b63, seqLen desc, id, pos) — the ips4o
-    SORT_PARALLEL analogue (kmermatcher.cpp:409-415)."""
-    m_hi = kmer_hi | U32(0x80000000)
-    neg_len = ~seq_len                       # int32 ascending == len desc
-    pad_k = pad.astype(U32)
-    out = jax.lax.sort(
-        (pad_k, m_hi, kmer_lo, neg_len, ids, pos, kmer_hi, seq_len),
-        num_keys=6, is_stable=True)
-    return out
+def _global_sort(wa, wb2):
+    """Global stable sort by (masked kmer, len desc, id, pos) — the ips4o
+    SORT_PARALLEL analogue (kmermatcher.cpp:409-415) as two LSD
+    (u64 key, i32 perm) passes.  Strand (wb2 bit 0) is NOT a key, same
+    as the host lexsort."""
+    M = wa.shape[0]
+    iota = jnp.arange(M, dtype=I32)
+    _, perm1 = jax.lax.sort((wb2 >> _u64(1), iota), num_keys=1,
+                            is_stable=True)
+    wa1 = wa[perm1]
+    wa_s, perm = jax.lax.sort((wa1, perm1), num_keys=1, is_stable=True)
+    wb2_s = wb2[perm]
+    return wa_s, wb2_s
 
 
 @partial(jax.jit, static_argnames=("include_only_extendable", "cov_mode"))
-def _assign_groups(pad_k, m_hi, kmer_lo, ids, pos, kmer_hi, seq_len,
-                   include_only_extendable: bool, cov_mode: int, cov_thr):
+def _assign_groups(wa_s, wb2_s, include_only_extendable: bool,
+                   cov_mode: int, cov_thr):
     """assignGroup (kmermatcher.cpp:453-562) over the globally sorted
     table; emits per-entry (centre, member, diagonal, fwd, keep)."""
-    M = kmer_hi.shape[0]
+    M = wa_s.shape[0]
     idx = jnp.arange(M, dtype=I32)
-    valid = pad_k == 0
+    valid = wa_s != ALL1
+    lmax = jnp.int32((1 << B_LEN) - 1)
+    fwd = (wb2_s & _u64(1)).astype(I32)
+    pos = ((wb2_s >> _u64(1)) & _u64((1 << B_LEN) - 1)).astype(I32)
+    ids = ((wb2_s >> _u64(B_LEN + 1)) & _u64((1 << B_ID) - 1)).astype(I32)
+    seq_len = lmax - (wb2_s >> _u64(B_ID + B_LEN + 1)).astype(I32)
+
     prev_same = jnp.concatenate(
         [jnp.zeros(1, bool),
-         (m_hi[1:] == m_hi[:-1]) & (kmer_lo[1:] == kmer_lo[:-1])
-         & valid[1:] & valid[:-1]])
+         (wa_s[1:] == wa_s[:-1]) & valid[1:] & valid[:-1]])
     new_group = ~prev_same
-    first_idx = jnp.where(new_group, idx, 0)
-    rep_idx = jax.lax.cummax(first_idx)
     next_new = jnp.concatenate([new_group[1:], jnp.ones(1, bool)])
-    # group size > 1 <=> not (first of group and last of group)
     singleton = new_group & next_new
     keep = valid & ~singleton
 
-    rep_is_rev = (kmer_hi[rep_idx] & U32(0x80000000)) == 0
-    tgt_is_rev = (kmer_hi & U32(0x80000000)) == 0
-    rep_pos = pos[rep_idx]
+    # group-head lookup: i32 cummax of head indices (native fast
+    # reduce-window lowering; u64 scans explode the TPU compile) + small
+    # gathers of the head's attributes
+    first_idx = jnp.where(new_group, idx, 0)
+    rep_idx = jax.lax.cummax(first_idx)
+    rep_fwd = fwd[rep_idx]
     rep_len = seq_len[rep_idx]
+    rep_pos = pos[rep_idx]
+    centre = ids[rep_idx]
+
+    rep_is_rev = rep_fwd == 0
+    tgt_is_rev = fwd == 0
     flip = tgt_is_rev
     q_pos = jnp.where(flip, rep_len - 1 - rep_pos, rep_pos)
     t_pos_adj = jnp.where(flip, seq_len - 1 - pos, pos)
@@ -266,28 +373,53 @@ def _assign_groups(pad_k, m_hi, kmer_lo, ids, pos, kmer_hi, seq_len,
             cov = jnp.ones_like(ql, bool)
         keep = keep & jnp.where(cov_thr <= 0.0, True, cov)
 
-    centre = ids[rep_idx]
     centre_fwd = ~q_needs_rev
     return centre, centre_fwd, ids, diagonal, keep
 
 
 @jax.jit
 def _sort_pairs(keep, centre, member, diagonal, centre_fwd):
-    """Stable sort of kept entries by (centre, member, diag)."""
-    c_key = jnp.where(keep, centre.astype(U32), _INVALID)
-    m_key = member.astype(U32)
-    d_key = (diagonal ^ jnp.int32(-2147483648)).view(jnp.uint32)
-    return jax.lax.sort(
-        (c_key, m_key, d_key, centre, member, diagonal, centre_fwd),
-        num_keys=3, is_stable=True)
+    """Stable sort of kept entries by (centre, member, diag): one
+    (u64 key, i32 payload) pass; fwd rides in the payload's low bit."""
+    M = centre.shape[0]
+    doff = jnp.int32(1 << B_LEN)
+    key = (centre.astype(U64) << _u64(B_ID + B_LEN + 1)) \
+        | (member.astype(U64) << _u64(B_LEN + 1)) \
+        | (diagonal + doff).astype(U64)
+    key = jnp.where(keep, key, ALL1)
+    payload = (jnp.arange(M, dtype=I32) << 1) | centre_fwd.astype(I32)
+    key_s, pay_s = jax.lax.sort((key, payload), num_keys=1, is_stable=True)
+    kept = key_s != ALL1
+    centre_s = (key_s >> _u64(B_ID + B_LEN + 1)).astype(I32)
+    member_s = ((key_s >> _u64(B_LEN + 1)) & _u64((1 << B_ID) - 1)).astype(I32)
+    diag_s = ((key_s & _u64((1 << (B_LEN + 1)) - 1)).astype(I32)) - doff
+    fwd_s = (pay_s & 1).astype(bool)
+    return kept, centre_s, member_s, diag_s, fwd_s
+
+
+def _seg_suffix_argmax(s, j_idx, seg_start_rev_mask):
+    """Per-element suffix (towards larger j) lexicographic max of (s, j)
+    within segments, where segments are delimited (in reverse direction)
+    by seg_start_rev_mask.  Implemented as a reversed segmented
+    associative scan."""
+    def combine(a, b):
+        a_s, a_j, a_f = a
+        b_s, b_j, b_f = b
+        take_b = b_f | (b_s > a_s) | ((b_s == a_s) & (b_j > a_j))
+        return (jnp.where(take_b, b_s, a_s),
+                jnp.where(take_b, b_j, a_j),
+                a_f | b_f)
+
+    rev_in = (s[::-1], j_idx[::-1], seg_start_rev_mask[::-1])
+    out = jax.lax.associative_scan(combine, rev_in)
+    return out[0][::-1], out[1][::-1]
 
 
 @jax.jit
-def _pair_scan(c_key, centre, member, diagonal, fwd):
+def _pair_scan(kept, centre, member, diagonal, fwd):
     """Per-(centre,member) lookahead scan (kmermatcher.cpp:841-929)."""
     M = centre.shape[0]
     idx = jnp.arange(M, dtype=I32)
-    kept = c_key != _INVALID
     prev_c = jnp.concatenate([jnp.full(1, -1, I32), centre[:-1]])
     prev_m = jnp.concatenate([jnp.full(1, -1, I32), member[:-1]])
     prev_d = jnp.concatenate([jnp.full(1, -1, I32), diagonal[:-1]])
@@ -302,11 +434,11 @@ def _pair_scan(c_key, centre, member, diagonal, fwd):
     run_start = jax.lax.cummax(jnp.where(diag_new, idx, 0))
     # member-run end: last index of the contiguous member-run
     next_member_new = jnp.concatenate([member_new[1:], jnp.ones(1, bool)])
-    # reverse cummin of boundary indices
     nb = jnp.where(next_member_new, idx, jnp.int32(2147483647))
     mre = jax.lax.cummin(nb[::-1])[::-1]          # member-run end >= idx
 
     s_cnt = idx - run_start + 1                    # full-run count at idx
+    is_rev = ~fwd
     suf_s, suf_j = _seg_suffix_argmax(s_cnt, idx, next_member_new)
 
     # diag-run end containing idx
@@ -325,7 +457,7 @@ def _pair_scan(c_key, centre, member, diagonal, fwd):
                                           & (full_j > partial_j))
     best_j = jnp.where(take_full, full_j, partial_j)
     best_diag = diagonal[best_j]
-    best_rev = ~fwd[best_j]
+    best_rev = is_rev[best_j]
     top = mre - idx + 1
 
     emit = new_pair & (member != centre)
@@ -334,8 +466,6 @@ def _pair_scan(c_key, centre, member, diagonal, fwd):
 
     # ---- self rows: one per centre block containing >= 1 emitted pair ----
     centre_new = kept & ((centre != prev_c) | (idx == 0))
-    # reverse segmented or: does any emit exist in [idx, centre-block end]?
-    # (segment flags for a reversed scan mark block ENDS in original order)
     centre_end = jnp.concatenate([centre_new[1:], jnp.ones(1, bool)])
 
     def comb_or(a, b):
@@ -348,28 +478,69 @@ def _pair_scan(c_key, centre, member, diagonal, fwd):
     self_emit = centre_new & blk_has_emit
 
     return {"emit": emit, "self_emit": self_emit, "centre": centre,
-            "member": member, "score": score, "diag16": diag16,
-            "kept": kept}
-
-
-def group_and_pairs(pad, kmer_hi, kmer_lo, ids, pos, seq_len,
-                    include_only_extendable: bool, cov_mode: int, cov_thr):
-    """Flat selected-entry table -> emitted prefilter rows, on device.
-
-    `pad` marks unselected/padding slots (sorted to the tail).  Phased
-    as several jits (see extract_select_bucket note)."""
-    srt = _global_sort(pad, kmer_hi, kmer_lo, ids, pos, seq_len)
-    pad_k, m_hi, kmer_lo, neg_len, ids, pos, kmer_hi, seq_len = srt
-    centre, centre_fwd, member, diagonal, keep = _assign_groups(
-        pad_k, m_hi, kmer_lo, ids, pos, kmer_hi, seq_len,
-        include_only_extendable, cov_mode, cov_thr)
-    c_key, m_key, d_key, centre, member, diagonal, fwd = _sort_pairs(
-        keep, centre, member, diagonal, centre_fwd)
-    return _pair_scan(c_key, centre, member, diagonal, fwd)
+            "member": member, "score": score, "diag16": diag16}
 
 
 # ---------------------------------------------------------------------------
-# stage 5: row compaction into the final PrefDB order
+# stage 5: final ordering by destination cumsums + scatter (no third sort)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_seqs_i", "out_cap"))
+def _finalize(g, n_seqs_i: int, n_real, out_cap: int):
+    """Pair rows + self rows + missing-centre rows -> final ordered rows.
+
+    Final PrefDB order (kmermatcher.cpp:815-930 + :716-729): centres
+    ascending, self row first within each block, then members ascending;
+    sequences never written as a centre get a lone self row appended in
+    id order.  Rows land at exclusive-cumsum destinations via two u64
+    scatters; row payloads pack as
+      word_a = (q << 22) | (t << 1) | is_self
+      word_b = ((score + 2^17) << 16) | (diag16 + 2^15).
+    """
+    emit = g["emit"]
+    self_emit = g["self_emit"]
+    M = emit.shape[0]
+    e_in = jnp.cumsum(emit.astype(I32))
+    s_in = jnp.cumsum(self_emit.astype(I32))
+    e_ex = e_in - emit.astype(I32)
+    big = jnp.int32(out_cap)
+    dest_e = jnp.where(emit, e_ex + s_in, big)
+    dest_s = jnp.where(self_emit, e_ex + s_in - 1, big)
+    total_block = e_in[-1] + s_in[-1]
+
+    has_centre = jnp.zeros(n_seqs_i, I32).at[
+        jnp.clip(g["centre"], 0, n_seqs_i - 1)].max(
+        self_emit.astype(I32), mode="drop")
+    seq_ids = jnp.arange(n_seqs_i, dtype=I32)
+    missing = (has_centre == 0) & (seq_ids < n_real)
+    m_in = jnp.cumsum(missing.astype(I32))
+    dest_m = jnp.where(missing, total_block + m_in - 1, big)
+    n_rows = total_block + m_in[-1]
+
+    q64 = g["centre"].astype(U64)
+    t64 = g["member"].astype(U64)
+    wa_e = (q64 << _u64(22)) | (t64 << _u64(1))
+    wb_e = ((g["score"] + (1 << 17)).astype(U64) << _u64(16)) \
+        | (g["diag16"] + (1 << 15)).astype(U64)
+    wa_s = (q64 << _u64(22)) | (q64 << _u64(1)) | _u64(1)
+    wb_s = jnp.full(M, np.uint64(((1 << 17) << 16) | (1 << 15)), U64)
+    i64 = seq_ids.astype(U64)
+    wa_m = (i64 << _u64(22)) | (i64 << _u64(1)) | _u64(1)
+    wb_m = jnp.full(n_seqs_i, np.uint64(((1 << 17) << 16) | (1 << 15)), U64)
+
+    buf_a = jnp.zeros(out_cap, U64)
+    buf_b = jnp.zeros(out_cap, U64)
+    buf_a = buf_a.at[dest_e].set(wa_e, mode="drop")
+    buf_b = buf_b.at[dest_e].set(wb_e, mode="drop")
+    buf_a = buf_a.at[dest_s].set(wa_s, mode="drop")
+    buf_b = buf_b.at[dest_s].set(wb_s, mode="drop")
+    buf_a = buf_a.at[dest_m].set(wa_m, mode="drop")
+    buf_b = buf_b.at[dest_m].set(wb_m, mode="drop")
+    return buf_a, buf_b, n_rows
+
+
+# ---------------------------------------------------------------------------
+# host driver
 # ---------------------------------------------------------------------------
 
 def bucket_geom(n: int, lo: int = 1024) -> int:
@@ -379,102 +550,19 @@ def bucket_geom(n: int, lo: int = 1024) -> int:
     return 1 << (n - 1).bit_length()
 
 
-@partial(jax.jit, static_argnames=("n_seqs_i",))
-def compact_rows(g, n_seqs_i, n_real):
-    """Pair rows + self rows + missing-centre rows -> final ordered rows.
-
-    Final PrefDB order (kmermatcher.cpp:815-930 + :716-729): centres
-    ascending, self row first within each block, then members ascending;
-    sequences never written as a centre get a lone self row appended in
-    id order.  One stable 3-key sort compacts everything.  `n_seqs_i` is
-    the bucketed slot count; `n_real` the true sequence count (phantom
-    slots emit nothing).
-    """
-    M = g["centre"].shape[0]
-    # has_centre per sequence id (scatter of self_emit)
-    has_centre = jnp.zeros(n_seqs_i, I32).at[
-        jnp.clip(g["centre"], 0, n_seqs_i - 1)].max(
-        g["self_emit"].astype(I32), mode="drop")
-    seq_ids = jnp.arange(n_seqs_i, dtype=I32)
-    missing = (has_centre == 0) & (seq_ids < n_real)
-
-    # slots: [pair rows (M)] + [self rows (M)] + [missing rows (n_seqs)]
-    is_row = jnp.concatenate([g["emit"], g["self_emit"], missing])
-    sect = jnp.concatenate([jnp.zeros(M, I32), jnp.zeros(M, I32),
-                            jnp.ones(n_seqs_i, I32)])
-    qc = jnp.concatenate([g["centre"], g["centre"], seq_ids])
-    # member order key: self rows first (0), members at member+1
-    mkey = jnp.concatenate([g["member"] + 1, jnp.zeros(M, I32),
-                            jnp.zeros(n_seqs_i, I32)])
-    tgt = jnp.concatenate([g["member"], g["centre"], seq_ids])
-    score = jnp.concatenate([g["score"], jnp.zeros(M, I32),
-                             jnp.zeros(n_seqs_i, I32)])
-    diag = jnp.concatenate([g["diag16"].astype(I32), jnp.zeros(M, I32),
-                            jnp.zeros(n_seqs_i, I32)])
-
-    k0 = jnp.where(is_row, sect.astype(U32), _INVALID)
-    k1 = qc.astype(U32)
-    k2 = mkey.astype(U32)
-    k0, k1, k2, qc, tgt, score, diag, is_row = jax.lax.sort(
-        (k0, k1, k2, qc, tgt, score, diag, is_row),
-        num_keys=3, is_stable=True)
-    n_rows = jnp.sum(is_row.astype(I32))
-    is_self = k2 == 0
-    return {"q": qc, "t": tgt, "score": score, "diag": diag,
-            "valid": is_row, "is_self": is_self, "n_rows": n_rows}
-
-
-# ---------------------------------------------------------------------------
-# host driver
-# ---------------------------------------------------------------------------
-
 def _bucketize(seqdb):
     """Group sequence ids by padded length bucket; returns list of
     (bucket_len, ids ndarray)."""
     from ..utils import bucket_len
     lens = seqdb.lengths
-    buckets: dict[int, list] = {}
-    bl = np.array([bucket_len(int(x)) for x in np.unique(lens)])
     u = np.unique(lens)
+    bl = np.array([bucket_len(int(x)) for x in u])
     l2b = dict(zip(u.tolist(), bl.tolist()))
     b_of = np.array([l2b[int(x)] for x in lens], dtype=np.int64)
     out = []
     for b in np.unique(b_of):
         out.append((int(b), np.nonzero(b_of == b)[0]))
     return out
-
-
-def extract_selected_device(seqdb, k: int, kmers_per_sequence: int,
-                            kmers_per_sequence_scale: float,
-                            hash_shift: int):
-    """Whole-database extraction+selection on device; returns flat device
-    arrays (kmer_hi, kmer_lo, id, pos, seq_len) where *unselected* slots
-    are marked kmer_hi == 0xFFFFFFFF with unique kmer_lo, plus the flat
-    slot count.  Identity entries are appended per sequence."""
-    from ..constants import CHAR_TO_CODE
-    parts = []
-    for bl, ids_np in _bucketize(seqdb):
-        B = len(ids_np)
-        Bp = bucket_geom(B, lo=256)     # row bucket: compile reuse
-        lens_b = seqdb.lengths[ids_np].astype(np.int64)
-        codes = np.full((Bp, bl), 4, dtype=np.int8)
-        tot = int(lens_b.sum())
-        row = np.repeat(np.arange(B), lens_b)
-        cum = np.concatenate([[0], np.cumsum(lens_b)])
-        col = np.arange(tot) - np.repeat(cum[:-1], lens_b)
-        flat = np.repeat(seqdb.offsets[ids_np], lens_b) + col
-        codes[row, col] = CHAR_TO_CODE[seqdb.data[flat]]
-        lengths = np.zeros(Bp, dtype=np.int32)
-        lengths[:B] = lens_b
-        if bl < k:
-            ext = None
-        else:
-            ext = extract_select_bucket(jnp.asarray(codes),
-                                        jnp.asarray(lengths), k, hash_shift,
-                                        kmers_per_sequence,
-                                        float(kmers_per_sequence_scale))
-        parts.append((ids_np, lengths, ext))
-    return parts
 
 
 def kmermatcher_device(seqdb, k: int, kmers_per_sequence: int,
@@ -485,80 +573,113 @@ def kmermatcher_device(seqdb, k: int, kmers_per_sequence: int,
     """Full kmermatcher stage on device -> PrefDB (bit-identical to
     kmer.matcher.kmermatcher; oracle-tested)."""
     from ..aligndb import PrefDB
+    from ..constants import CHAR_TO_CODE
 
     n_seqs = len(seqdb)
-    parts = extract_selected_device(seqdb, k, kmers_per_sequence,
-                                    kmers_per_sequence_scale, hash_shift)
+    if n_seqs == 0:
+        return PrefDB(qkey=np.zeros(0, np.uint32),
+                      tkey=np.zeros(0, np.uint32),
+                      score=np.zeros(0, np.int32),
+                      diag=np.zeros(0, np.int32),
+                      starts=np.zeros(1, np.int64),
+                      qkeys=np.zeros(0, np.uint32),
+                      qext=np.zeros(0, bool))
+    if n_seqs >= (1 << B_ID):
+        raise ValueError(f"kmermatcher_device: {n_seqs} sequences exceeds "
+                         f"the 2^{B_ID} packing budget; shard first")
+    if int(seqdb.lengths.max(initial=0)) >= (1 << B_LEN):
+        raise ValueError("kmermatcher_device: sequence length exceeds "
+                         f"the 2^{B_LEN} packing budget")
 
-    # flatten buckets into one table (selected windows + identity entries)
-    khs, kls, idss, poss, lens, pads = [], [], [], [], [], []
-    for ids_np, lengths, ext in parts:
-        B = len(ids_np)
-        Bp = len(lengths)                     # row-bucketed count
-        ids_pad = np.zeros(Bp, dtype=np.int32)
-        ids_pad[:B] = ids_np
-        ids_dev = jnp.asarray(ids_pad)
-        phantom = jnp.arange(Bp) >= B
-        if ext is not None:
-            W = ext["kmer_hi"].shape[1]
-            sel = ext["selected"]
-            khs.append(ext["kmer_hi"].ravel())
-            kls.append(ext["kmer_lo"].ravel())
-            idss.append(jnp.broadcast_to(ids_dev[:, None], (Bp, W)).ravel())
-            poss.append(ext["pos"].ravel())
-            lens.append(jnp.broadcast_to(
-                jnp.asarray(lengths)[:, None], (Bp, W)).ravel())
-            pads.append(~sel.ravel())
-            khs.append(ext["id_hash_hi"])
-            kls.append(ext["id_hash_lo"])
-        else:
-            # sequences shorter than k still get their identity entry
-            from ..kmer.xxh64 import util_hash_codes_batch, xxh64_u64
-            from ..constants import CHAR_TO_CODE
-            codes_flat = CHAR_TO_CODE[seqdb.data]
-            ih = np.zeros(Bp, dtype=np.uint64)
-            ih[:B] = xxh64_u64(util_hash_codes_batch(
-                codes_flat, seqdb.offsets[ids_np], seqdb.lengths[ids_np]),
-                hash_shift)
-            khs.append(jnp.asarray((ih >> np.uint64(32)).astype(np.uint32)))
-            kls.append(jnp.asarray(
-                (ih & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
-        idss.append(ids_dev)
-        poss.append(jnp.zeros(Bp, I32))
-        lens.append(jnp.asarray(lengths))
-        pads.append(phantom)
+    with jax.enable_x64(True):
+        was, wb2s = [], []
+        for bl, ids_np in _bucketize(seqdb):
+            B = len(ids_np)
+            Bp = bucket_geom(B, lo=256)     # row bucket: compile reuse
+            lens_b = seqdb.lengths[ids_np].astype(np.int64)
+            codes = np.full((Bp, bl), 4, dtype=np.int8)
+            tot = int(lens_b.sum())
+            row = np.repeat(np.arange(B), lens_b)
+            cum = np.concatenate([[0], np.cumsum(lens_b)])
+            col = np.arange(tot) - np.repeat(cum[:-1], lens_b)
+            flat = np.repeat(seqdb.offsets[ids_np], lens_b) + col
+            codes[row, col] = CHAR_TO_CODE[seqdb.data[flat]]
+            lengths = np.zeros(Bp, dtype=np.int32)
+            lengths[:B] = lens_b
+            ids_pad = np.zeros(Bp, dtype=np.int32)
+            ids_pad[:B] = ids_np
+            codes_d = jnp.asarray(codes)
+            lengths_d = jnp.asarray(lengths)
+            ids_d = jnp.asarray(ids_pad)
+            phantom = jnp.arange(Bp) >= B
 
-    kmer_hi = jnp.concatenate(khs)
-    kmer_lo = jnp.concatenate(kls)
-    ids = jnp.concatenate(idss).astype(I32)
-    pos = jnp.concatenate(poss).astype(I32)
-    seq_len = jnp.concatenate(lens).astype(I32)
-    pad = jnp.concatenate(pads)
+            id_hash = _identity_hash(codes_d, lengths_d, hash_shift)
+            wa_i, wb2_i = _identity_rows(id_hash, ids_d, lengths_d, phantom)
+            was.append(wa_i)
+            wb2s.append(wb2_i)
 
-    # flat-table bucket: pad slots sort to the tail and emit nothing
-    M = kmer_hi.shape[0]
-    Mp = bucket_geom(M, lo=1 << 16)
-    if Mp > M:
-        z = Mp - M
-        kmer_hi = jnp.concatenate([kmer_hi, jnp.zeros(z, U32)])
-        kmer_lo = jnp.concatenate([kmer_lo, jnp.zeros(z, U32)])
-        ids = jnp.concatenate([ids, jnp.zeros(z, I32)])
-        pos = jnp.concatenate([pos, jnp.zeros(z, I32)])
-        seq_len = jnp.concatenate([seq_len, jnp.zeros(z, I32)])
-        pad = jnp.concatenate([pad, jnp.ones(z, bool)])
+            if bl < k:
+                continue
+            key2, pos_strand = _windows_bucket(codes_d, lengths_d, k,
+                                               hash_shift)
+            key2s, ps_s = _rowsort_bucket(key2, pos_strand)
+            hits = _select_bucket(key2s, lengths_d, k, kmers_per_sequence,
+                                  float(kmers_per_sequence_scale))
+            W = key2s.shape[1]
+            # selection cap: nothing beyond `considered` can be selected
+            cap = int(np.float32(kmers_per_sequence - 1)
+                      + np.float32(kmers_per_sequence_scale)
+                      * np.float32(bl)) + 1
+            if cap < W // 2:
+                # compaction: the flat table scales with selected count
+                key2c, psc, selcnt = _compact_bucket(key2s, ps_s, hits)
+                key2c = key2c[:, :cap]
+                psc = psc[:, :cap]
+            else:
+                # short sequences: nearly everything is selected — mask
+                # unselected in place instead of compacting
+                key2c = jnp.where(hits, key2s, ALL1)
+                psc = ps_s
+                selcnt = jnp.full(key2s.shape[0], W, I32)
+            wa_w, wb2_w = _flatten_bucket(key2c, psc, selcnt, ids_d,
+                                          lengths_d, k)
+            was.append(wa_w)
+            wb2s.append(wb2_w)
 
-    g = group_and_pairs(pad, kmer_hi, kmer_lo, ids, pos, seq_len,
-                        bool(include_only_extendable), int(cov_mode),
-                        jnp.float32(cov_thr))
-    rows = compact_rows(g, bucket_geom(n_seqs, lo=1024),
-                        jnp.int32(n_seqs))
+        wa = jnp.concatenate(was)
+        wb2 = jnp.concatenate(wb2s)
+        M = wa.shape[0]
+        Mp = bucket_geom(M, lo=1 << 16)
+        if Mp > M:
+            z = Mp - M
+            wa = jnp.concatenate([wa, jnp.full(z, ALL1, U64)])
+            wb2 = jnp.concatenate([wb2, jnp.full(z, ALL1, U64)])
+        wa_s, wb2_s = _global_sort(wa, wb2)
+        centre, centre_fwd, member, diagonal, keep = _assign_groups(
+            wa_s, wb2_s, bool(include_only_extendable), int(cov_mode),
+            jnp.float32(cov_thr))
+        kept, centre_s, member_s, diag_s, fwd_s = _sort_pairs(
+            keep, centre, member, diagonal, centre_fwd)
+        g = _pair_scan(kept, centre_s, member_s, diag_s, fwd_s)
 
-    n_rows = int(rows["n_rows"])
-    q = np.asarray(rows["q"][:n_rows])
-    t = np.asarray(rows["t"][:n_rows])
-    score = np.asarray(rows["score"][:n_rows])
-    diag = np.asarray(rows["diag"][:n_rows])
-    is_self = np.asarray(rows["is_self"][:n_rows])
+        n_pad = bucket_geom(n_seqs, lo=1024)
+        out_cap = Mp + n_pad
+        buf_a, buf_b, n_rows = _finalize(g, n_pad, jnp.int32(n_seqs),
+                                         out_cap)
+        n_rows = int(n_rows)
+        # slice to a geometric bucket before the D2H pull: a slice sized
+        # by the exact (varying) n_rows would recompile every call
+        sl = min(bucket_geom(max(n_rows, 1), lo=4096), out_cap)
+        word_a = np.asarray(buf_a[:sl])[:n_rows]
+        word_b = np.asarray(buf_b[:sl])[:n_rows]
+
+    q = (word_a >> np.uint64(22)).astype(np.int64)
+    t = ((word_a >> np.uint64(1)) & np.uint64((1 << 21) - 1)).astype(np.int64)
+    is_self = (word_a & np.uint64(1)).astype(bool)
+    score = ((word_b >> np.uint64(16)).astype(np.int64)
+             - (1 << 17)).astype(np.int32)
+    diag = ((word_b & np.uint64(0xFFFF)).astype(np.int64)
+            - (1 << 15)).astype(np.int32)
 
     keys = seqdb.keys
     qkey = keys[q].astype(np.uint32)

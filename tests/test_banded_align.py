@@ -65,3 +65,39 @@ def test_linclust_clusters_indel_pair_like_reference():
     clusters = linclust(db, 0.97, 0.99, 1)
     # pinned against the reference binary's linclust on identical input
     assert clusters == {1: [1, 0], 2: [2]}
+
+
+def test_banded_align_native_matches_python_oracle():
+    """The native C++ fast path (native/banded.cpp) must reproduce the
+    NumPy DP exactly — scores, ends, identities, lengths."""
+    from carpedeam_tpu import native
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    import carpedeam_tpu.ops.banded_align as ba
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        nq = int(rng.integers(1, 400))
+        nt = int(rng.integers(1, 400))
+        q = rng.integers(0, 5, nq).astype(np.uint8)
+        # make t a mutated copy of q half the time (realistic near-dups)
+        if trial % 2 == 0 and nt <= nq:
+            t = q[:nt].copy()
+            n_mut = int(rng.integers(0, max(nt // 10, 1)))
+            if n_mut:
+                idx = rng.integers(0, nt, n_mut)
+                t[idx] = rng.integers(0, 4, n_mut).astype(np.uint8)
+            if nt > 20:  # small indel
+                cut = int(rng.integers(1, nt - 2))
+                t = np.concatenate([t[:cut], t[cut + 1:]])
+        else:
+            t = rng.integers(0, 5, nt).astype(np.uint8)
+        nat = native.banded_align_one(q, t, 64, 2, -3, 5, 2)
+        # run the pure-Python DP by bypassing the native fast path
+        real = native.banded_align_one
+        native.banded_align_one = lambda *a, **k: None
+        try:
+            py = ba.banded_align(q, t)
+        finally:
+            native.banded_align_one = real
+        assert nat == py, (trial, nat, py)
