@@ -1,40 +1,66 @@
-"""Benchmark: residues/s through the assembler's per-iteration hot path.
+"""Benchmark: residues/s through the assembler's 4-stage per-iteration
+hot path — kmermatcher + rescorediagonal + correction + read extension —
+exactly as the production pipeline runs them (pipeline._pick_stage_impls
+with use_device="auto": device kmermatcher + Pallas rescoring/correction
++ batched extension scoring on TPU), on a 120k-read / 6.04M-residue
+synthetic ancient-DNA workload (tools/make_workload.py, seed 1 — the
+same generator/seed as the checked-in scale runs).
 
-Runs the two batched stages exactly as the production pipeline does on
-the bundled reference example workload — overlap rescoring of every
-k-mer candidate pair AND whole-DB Bayesian correction — using the
-Pallas device stages (use_device="pallas") with the per-iteration
-shared device planes, and reports steady-state combined throughput as
-one JSON line:
-
-  {"metric": "iteration_hot_path_residues_per_s", "value": ...,
+Prints ONE JSON line:
+  {"metric": "hot_path_4stage_residues_per_s", "value": ...,
    "unit": "residues/s", "vs_baseline": ...}
 
-Baseline: the reference C++ binary (SSE4.1 OpenMP, 8 threads) spends
-~0.42 s per read-phase iteration on these two stages for this workload
-(766,712 residues; measured from a full profiled run on this machine's
-CPU) = ~1.8M residues/s.
+Baseline: the reference C++ binary's 4-stage iteration-0 chain on the
+SAME workload, measured standalone with tools/measure_baseline.py on
+this machine (2-core x86-64, SSE4.1+AVX2, reference built -O3 Release):
+
+  kmermatcher 1.567s + rescorediagonal 0.265s + ancient_correction
+  1.316s + ancient_read_assemble 0.367s = 3.516s for 6,044,347 residues
+  -> 1,719,149 residues/s  (min of 3 reps per stage; includes each
+  stage's process+IO exactly as the reference workflow pays it)
 
 Timing notes:
   * each repetition runs the COMPLETE stage functions (host prep, device
     kernels, host output assembly) — the same work a pipeline iteration
-    pays, so results materialise on the host by construction.  On
-    tunnelled TPU backends `jax.block_until_ready` can return before the
-    device work executes, so kernel-only timings would be fiction.
+    pays, so results materialise on the host by construction.
   * steady-state: executables already compiled (shape-bucketed, so one
     compile serves every assembly iteration; compile time amortises away
-    at production scale).
+    at production scale).  First call pays all compiles (~8 min through
+    the tunnelled dev TPU; cached per process).
+  * CARPEDEAM_BENCH_READS overrides the workload size (e.g. 1000000);
+    vs_baseline is only reported for the 120k default whose reference
+    chain was measured on this machine.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
-import numpy as np
+CPU_BASELINE = {  # tools/measure_baseline.py work/synth_120k.fq.gz
+    "reads": 120000,
+    "residues": 6044347,
+    "stage_s": {"kmermatcher": 1.567, "rescorediagonal": 0.265,
+                "correction": 1.316, "read_assemble": 0.367},
+    "total_s": 3.516,
+    "residues_per_s": 1719149.0,
+}
 
-CPU_BASELINE_RESIDUES_PER_S = 1.8e6
+
+def _workload(n_reads: int) -> str:
+    path = os.path.join(_HERE, "work", f"synth_{n_reads // 1000}k.fq.gz") \
+        if n_reads < 1000000 else os.path.join(_HERE, "work",
+                                               "synth_1m.fq.gz")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        subprocess.run([sys.executable,
+                        os.path.join(_HERE, "tools", "make_workload.py"),
+                        path, "--reads", str(n_reads), "--seed", "1"],
+                       check=True)
+    return path
 
 
 def main():
@@ -43,43 +69,74 @@ def main():
     # serialization hangs compilation on tunnelled TPU backends.
     from carpedeam_tpu.damage import DamageModel
     from carpedeam_tpu.io import SeqDB
-    from carpedeam_tpu.kmer.matcher import kmermatcher
-    from carpedeam_tpu.ops.correction_pallas import correction_pallas
-    from carpedeam_tpu.ops.rescore_pallas import rescorediagonal_pallas
+    from carpedeam_tpu.params import Params
+    from carpedeam_tpu.pipeline import _pick_stage_impls
+    from carpedeam_tpu.stages.read_assembly import read_assembly
     from carpedeam_tpu.ops.rescore_tpu import pack_sequences
     from carpedeam_tpu.utils import bucket_len
 
-    example = "/root/reference/example/test_data.fq.gz"
-    db = SeqDB.from_fastx(example)
+    n_reads = int(os.environ.get("CARPEDEAM_BENCH_READS", "120000"))
+    db = SeqDB.from_fastx(_workload(n_reads))
     dm = DamageModel.load("/root/reference/example/dhigh")
-    pref = kmermatcher(db, 20, 200, 0.2, False)
     total_len = int(db.lengths.sum())
+    params = Params()
 
-    planes, lengths = pack_sequences(db, max_len=bucket_len(
-        int(db.lengths.max())))
-    planes = {k: jax.device_put(v) for k, v in planes.items()}
+    km_fn, rescore_fn, correction_fn, wants_planes = \
+        _pick_stage_impls(params)
 
-    def step():
-        aln = rescorediagonal_pallas(db, pref, seq_id_thr=0.9,
-                                     planes=planes, lengths=lengths)
-        corr = correction_pallas(db, aln, dm, 0.99, 0.9,
-                                 planes=planes, lengths=lengths)
-        return aln, corr
+    def planes_for(d):
+        if not wants_planes:
+            return {}
+        max_len = bucket_len(min(512, int(d.lengths.max())))
+        planes, lengths = pack_sequences(d, max_len=max_len)
+        planes = {k: jax.device_put(v) for k, v in planes.items()}
+        return {"planes": planes, "lengths": lengths}
+
+    def step(report=None):
+        t0 = time.perf_counter()
+        pref = km_fn(db, params.kmer_size_reads,
+                     params.kmers_per_sequence,
+                     params.kmers_per_sequence_scale,
+                     params.include_only_extendable_reads,
+                     params.hash_shift)
+        t1 = time.perf_counter()
+        shared = planes_for(db)
+        aln = rescore_fn(db, pref, params.seq_id_thr, params.eval_thr,
+                         params.aln_len_thr, **shared)
+        t2 = time.perf_counter()
+        corr = correction_fn(db, aln, dm, params.corr_reads_ry_seq_id,
+                             params.seq_id_thr, **shared)
+        t3 = time.perf_counter()
+        read_assembly(corr, aln, dm, params.seq_id_thr,
+                      params.ry_seq_id_thr, params.likelihood_threshold,
+                      params.random_align_penal, params.excess_penal,
+                      params.max_seq_len, params.ancient_unsafe,
+                      params.min_cov_safe, **planes_for(corr))
+        t4 = time.perf_counter()
+        if report is not None:
+            report.append({"kmermatcher": t1 - t0,
+                           "rescorediagonal": t2 - t1,
+                           "correction": t3 - t2,
+                           "read_assemble": t4 - t3,
+                           "total": t4 - t0})
 
     step()                              # compile + drain queue
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        step()
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    value = total_len / dt
-    print(json.dumps({
-        "metric": "iteration_hot_path_residues_per_s",
+    reps = []
+    for _ in range(3):
+        step(reps)
+    best = min(reps, key=lambda r: r["total"])
+    for k, v in best.items():
+        print(f"# {k}: {v:.3f}s", file=sys.stderr)
+    value = total_len / best["total"]
+    out = {
+        "metric": "hot_path_4stage_residues_per_s",
         "value": round(value),
         "unit": "residues/s",
-        "vs_baseline": round(value / CPU_BASELINE_RESIDUES_PER_S, 3),
-    }))
+    }
+    if n_reads == CPU_BASELINE["reads"]:
+        out["vs_baseline"] = round(value / CPU_BASELINE["residues_per_s"],
+                                   3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -418,26 +418,56 @@ def sort_kmer_entries_device(ent: dict) -> np.ndarray:
     return np.asarray(_sort(hi, lo, neg_len, ids, pos, idx))
 
 
+def default_block_residues() -> int:
+    """Machine-derived extraction block budget (the reference's
+    --split-memory-limit contract, kmermatcher.cpp:615-624 +
+    README.md:89-91 "scales to available RAM"): half of MemAvailable
+    over the ~50 bytes/residue of temporary window state, clamped to
+    [16M, 2G] residues.  Override with CARPEDEAM_BLOCK_RESIDUES."""
+    import os
+    env = os.environ.get("CARPEDEAM_BLOCK_RESIDUES")
+    if env:
+        return int(env)
+    avail = None
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail = int(line.split()[1]) * 1024
+                    break
+    except OSError:
+        pass
+    if avail is None:
+        try:
+            avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        except (ValueError, OSError):
+            avail = 4 << 30
+    return max(16 * 1024 * 1024, min(avail // 2 // 50, 2 << 31))
+
+
 def kmermatcher(seqdb: SeqDB, k: int, kmers_per_sequence: int,
                 kmers_per_sequence_scale: float,
                 include_only_extendable: bool,
                 hash_shift: int = 67, cov_mode: int = 0,
                 cov_thr: float = 0.0, device_sort: bool | None = None,
-                max_block_residues: int = 128 * 1024 * 1024) -> PrefDB:
+                max_block_residues: int | None = None) -> PrefDB:
     """Full single-shard kmermatcher stage -> prefilter hit table.
 
     `device_sort` routes the global k-mer sort through `jax.lax.sort` on
     the accelerator (auto: when the default backend is not the host CPU).
     `max_block_residues` bounds extraction working-set memory (~50 bytes
-    per residue of temporary window state per block)."""
+    per residue of temporary window state per block); None derives it
+    from the machine's available RAM (default_block_residues)."""
+    if max_block_residues is None:
+        max_block_residues = default_block_residues()
     ent = extract_selected_kmers_batched(seqdb, k, kmers_per_sequence,
                                          kmers_per_sequence_scale, hash_shift,
                                          max_block_residues=max_block_residues)
     # sort by (kmer|b63 asc, seqLen desc, id asc, pos asc)  (:409-415)
     if device_sort is None:
-        # measured on the tunnelled TPU backend: the 6-key lax.sort pays
-        # a ~5min compile and a D2H pull that dwarf the host lexsort even
-        # at 7M+ entries; keep the device sort opt-in
+        # the full device stage lives in ops/kmer_tpu.kmermatcher_device
+        # (routed by pipeline._pick_kmermatcher); this per-sort device
+        # hook predates it and stays opt-in
         device_sort = False
     if not device_sort:
         from .. import native

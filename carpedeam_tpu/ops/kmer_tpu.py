@@ -301,7 +301,7 @@ def _identity_rows(id_hash, ids_pad, lengths, phantom):
 # stage 3+4: global sort + group assignment (flat table)
 # ---------------------------------------------------------------------------
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0, 1))
 def _global_sort(wa, wb2):
     """Global stable sort by (masked kmer, len desc, id, pos) — the ips4o
     SORT_PARALLEL analogue (kmermatcher.cpp:409-415) as two LSD
@@ -317,7 +317,8 @@ def _global_sort(wa, wb2):
     return wa_s, wb2_s
 
 
-@partial(jax.jit, static_argnames=("include_only_extendable", "cov_mode"))
+@partial(jax.jit, static_argnames=("include_only_extendable", "cov_mode"),
+         donate_argnums=(0, 1))
 def _assign_groups(wa_s, wb2_s, include_only_extendable: bool,
                    cov_mode: int, cov_thr):
     """assignGroup (kmermatcher.cpp:453-562) over the globally sorted
@@ -377,7 +378,7 @@ def _assign_groups(wa_s, wb2_s, include_only_extendable: bool,
     return centre, centre_fwd, ids, diagonal, keep
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
 def _sort_pairs(keep, centre, member, diagonal, centre_fwd):
     """Stable sort of kept entries by (centre, member, diag): one
     (u64 key, i32 payload) pass; fwd rides in the payload's low bit."""
@@ -397,11 +398,61 @@ def _sort_pairs(keep, centre, member, diagonal, centre_fwd):
     return kept, centre_s, member_s, diag_s, fwd_s
 
 
+def _tiled_suffix_scan(combine, identity, xs):
+    """Inclusive suffix scan of an associative `combine` over flat
+    (M,) tuple `xs` (M a power of two): out_i = x_i (+) x_{i+1} (+) ...
+    with combine(acc_of_later, current).
+
+    `lax.associative_scan`'s log-depth unrolled graph explodes TPU
+    compile time superlinearly in M (253 s at 2^21, >15 min at 2^22 for
+    a 3-tuple combine — measured); this two-level tiling compiles two
+    small `lax.scan` bodies once and runs in tens of ms:
+
+      1. intra-tile suffix scans, all tiles in parallel (scan over the
+         B columns, carrying an (NB,)-wide accumulator);
+      2. exclusive suffix scan of the NB tile aggregates;
+      3. elementwise combine of tile prefix into each element.
+    """
+    M = xs[0].shape[0]
+    b_bits = max((M.bit_length() - 1) // 2, 1)
+    B = 1 << b_bits
+    NB = M // B
+    cols = tuple(x.reshape(NB, B).T[::-1] for x in xs)   # (B, NB) reversed
+
+    ident_nb = tuple(jnp.full((NB,), v, dtype=x.dtype)
+                     for v, x in zip(identity, xs))
+
+    def step(carry, col):
+        acc = combine(carry, col)
+        return acc, acc
+
+    _, suf_cols = jax.lax.scan(step, ident_nb, cols)
+    # suf_cols[b] = suffix within tile from column B-1-b; undo reversal
+    suf = tuple(s.transpose(1, 0)[:, ::-1].reshape(M) for s in suf_cols)
+
+    # tile aggregates = intra-tile suffix at column 0
+    agg = tuple(s[::B] for s in suf)
+
+    ident_1 = tuple(jnp.full((), v, dtype=x.dtype)
+                    for v, x in zip(identity, xs))
+
+    def step2(carry, a):
+        out = carry                       # exclusive: later tiles only
+        return combine(carry, a), out
+
+    _, pre_rev = jax.lax.scan(step2, ident_1,
+                              tuple(a[::-1] for a in agg))
+    tile_pre = tuple(p[::-1] for p in pre_rev)           # (NB,)
+
+    tile_b = tuple(jnp.repeat(p, B) for p in tile_pre)
+    return combine(tile_b, suf)
+
+
 def _seg_suffix_argmax(s, j_idx, seg_start_rev_mask):
     """Per-element suffix (towards larger j) lexicographic max of (s, j)
     within segments, where segments are delimited (in reverse direction)
-    by seg_start_rev_mask.  Implemented as a reversed segmented
-    associative scan."""
+    by seg_start_rev_mask.  Implemented as a tiled segmented suffix
+    scan."""
     def combine(a, b):
         a_s, a_j, a_f = a
         b_s, b_j, b_f = b
@@ -410,12 +461,13 @@ def _seg_suffix_argmax(s, j_idx, seg_start_rev_mask):
                 jnp.where(take_b, b_j, a_j),
                 a_f | b_f)
 
-    rev_in = (s[::-1], j_idx[::-1], seg_start_rev_mask[::-1])
-    out = jax.lax.associative_scan(combine, rev_in)
-    return out[0][::-1], out[1][::-1]
+    out = _tiled_suffix_scan(
+        combine, (jnp.int32(-(2 ** 30)), jnp.int32(-1), False),
+        (s, j_idx, seg_start_rev_mask))
+    return out[0], out[1]
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
 def _pair_scan(kept, centre, member, diagonal, fwd):
     """Per-(centre,member) lookahead scan (kmermatcher.cpp:841-929)."""
     M = centre.shape[0]
@@ -472,9 +524,8 @@ def _pair_scan(kept, centre, member, diagonal, fwd):
         a_v, a_f = a
         b_v, b_f = b
         return (b_v | (a_v & ~b_f), a_f | b_f)
-    r_emit, _ = jax.lax.associative_scan(
-        comb_or, (emit[::-1], centre_end[::-1]))
-    blk_has_emit = r_emit[::-1]                     # any emit at/after idx
+    blk_has_emit, _ = _tiled_suffix_scan(comb_or, (False, False),
+                                         (emit, centre_end))
     self_emit = centre_new & blk_has_emit
 
     return {"emit": emit, "self_emit": self_emit, "centre": centre,
@@ -485,17 +536,34 @@ def _pair_scan(kept, centre, member, diagonal, fwd):
 # stage 5: final ordering by destination cumsums + scatter (no third sort)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_seqs_i", "out_cap"))
+@partial(jax.jit, static_argnames=("n_seqs_i",))
+def _count_rows(emit, self_emit, centre, n_seqs_i: int, n_real):
+    """Output row count = emits + self rows + missing-centre rows; the
+    caller sizes the scatter buffers from it (a flat-table-sized buffer
+    OOMs at 1M reads — rows are ~5% of table slots)."""
+    has_centre = jnp.zeros(n_seqs_i, I32).at[
+        jnp.clip(centre, 0, n_seqs_i - 1)].max(
+        self_emit.astype(I32), mode="drop")
+    missing = (has_centre == 0) & (jnp.arange(n_seqs_i, dtype=I32) < n_real)
+    return (jnp.sum(emit.astype(I32)) + jnp.sum(self_emit.astype(I32))
+            + jnp.sum(missing.astype(I32)))
+
+
+@partial(jax.jit, static_argnames=("n_seqs_i", "out_cap"),
+         donate_argnums=(0,))
 def _finalize(g, n_seqs_i: int, n_real, out_cap: int):
     """Pair rows + self rows + missing-centre rows -> final ordered rows.
 
     Final PrefDB order (kmermatcher.cpp:815-930 + :716-729): centres
     ascending, self row first within each block, then members ascending;
     sequences never written as a centre get a lone self row appended in
-    id order.  Rows land at exclusive-cumsum destinations via two u64
-    scatters; row payloads pack as
-      word_a = (q << 22) | (t << 1) | is_self
-      word_b = ((score + 2^17) << 16) | (diag16 + 2^15).
+    id order.  Rows land at exclusive-cumsum destinations via u32
+    scatters (u64 scatters hit XLA:TPU's element-wise emulation path,
+    ~1.2 s each at 4M rows) into four planes:
+      q_self = (q << 1) | is_self,  t,
+      score_off = score + 2^17,     diag_off = diag16 + 2^15.
+    `out_cap` >= the true row count (from _count_rows), so the
+    mode="drop" clamp never hides a real row.
     """
     emit = g["emit"]
     self_emit = g["self_emit"]
@@ -517,26 +585,27 @@ def _finalize(g, n_seqs_i: int, n_real, out_cap: int):
     dest_m = jnp.where(missing, total_block + m_in - 1, big)
     n_rows = total_block + m_in[-1]
 
-    q64 = g["centre"].astype(U64)
-    t64 = g["member"].astype(U64)
-    wa_e = (q64 << _u64(22)) | (t64 << _u64(1))
-    wb_e = ((g["score"] + (1 << 17)).astype(U64) << _u64(16)) \
-        | (g["diag16"] + (1 << 15)).astype(U64)
-    wa_s = (q64 << _u64(22)) | (q64 << _u64(1)) | _u64(1)
-    wb_s = jnp.full(M, np.uint64(((1 << 17) << 16) | (1 << 15)), U64)
-    i64 = seq_ids.astype(U64)
-    wa_m = (i64 << _u64(22)) | (i64 << _u64(1)) | _u64(1)
-    wb_m = jnp.full(n_seqs_i, np.uint64(((1 << 17) << 16) | (1 << 15)), U64)
+    U32 = jnp.uint32
+    qv = g["centre"].astype(U32)
+    tv = g["member"].astype(U32)
+    qs_e = qv << U32(1)
+    sc_e = (g["score"] + (1 << 17)).astype(U32)
+    dg_e = (g["diag16"] + (1 << 15)).astype(U32)
+    qs_s = (qv << U32(1)) | U32(1)
+    zero_sc = jnp.full(M, np.uint32(1 << 17), U32)
+    zero_dg = jnp.full(M, np.uint32(1 << 15), U32)
+    iv = seq_ids.astype(U32)
+    qs_m = (iv << U32(1)) | U32(1)
+    zsc_m = jnp.full(n_seqs_i, np.uint32(1 << 17), U32)
+    zdg_m = jnp.full(n_seqs_i, np.uint32(1 << 15), U32)
 
-    buf_a = jnp.zeros(out_cap, U64)
-    buf_b = jnp.zeros(out_cap, U64)
-    buf_a = buf_a.at[dest_e].set(wa_e, mode="drop")
-    buf_b = buf_b.at[dest_e].set(wb_e, mode="drop")
-    buf_a = buf_a.at[dest_s].set(wa_s, mode="drop")
-    buf_b = buf_b.at[dest_s].set(wb_s, mode="drop")
-    buf_a = buf_a.at[dest_m].set(wa_m, mode="drop")
-    buf_b = buf_b.at[dest_m].set(wb_m, mode="drop")
-    return buf_a, buf_b, n_rows
+    bufs = [jnp.zeros(out_cap, U32) for _ in range(4)]
+    for dest, vals in ((dest_e, (qs_e, tv, sc_e, dg_e)),
+                      (dest_s, (qs_s, qv, zero_sc, zero_dg)),
+                      (dest_m, (qs_m, iv, zsc_m, zdg_m))):
+        bufs = [b.at[dest].set(v, mode="drop")
+                for b, v in zip(bufs, vals)]
+    return tuple(bufs) + (n_rows,)
 
 
 # ---------------------------------------------------------------------------
@@ -544,10 +613,16 @@ def _finalize(g, n_seqs_i: int, n_real, out_cap: int):
 # ---------------------------------------------------------------------------
 
 def bucket_geom(n: int, lo: int = 1024) -> int:
-    """Round up to the next power of two (>= lo): geometric shape buckets
-    bound compile variants to O(log n) across assembly iterations."""
+    """Round up to the next half-step power of two (2^k or 3*2^(k-1),
+    >= lo): geometric shape buckets bound compile variants to O(log n)
+    across assembly iterations while capping padding waste at 33%
+    (a plain power-of-two bucket doubles a 33M-entry table and OOMs the
+    16 GB HBM at 1M reads).  Values stay divisible by large powers of
+    two, which the tiled scans need."""
     n = max(int(n), lo)
-    return 1 << (n - 1).bit_length()
+    p = 1 << (n - 1).bit_length()
+    half = (p // 4) * 3
+    return half if n <= half else p
 
 
 def _bucketize(seqdb):
@@ -655,31 +730,34 @@ def kmermatcher_device(seqdb, k: int, kmers_per_sequence: int,
             wa = jnp.concatenate([wa, jnp.full(z, ALL1, U64)])
             wb2 = jnp.concatenate([wb2, jnp.full(z, ALL1, U64)])
         wa_s, wb2_s = _global_sort(wa, wb2)
+        del wa, wb2
         centre, centre_fwd, member, diagonal, keep = _assign_groups(
             wa_s, wb2_s, bool(include_only_extendable), int(cov_mode),
             jnp.float32(cov_thr))
+        del wa_s, wb2_s
         kept, centre_s, member_s, diag_s, fwd_s = _sort_pairs(
             keep, centre, member, diagonal, centre_fwd)
+        del centre, centre_fwd, member, diagonal, keep
         g = _pair_scan(kept, centre_s, member_s, diag_s, fwd_s)
+        del kept, centre_s, member_s, diag_s, fwd_s
 
         n_pad = bucket_geom(n_seqs, lo=1024)
-        out_cap = Mp + n_pad
-        buf_a, buf_b, n_rows = _finalize(g, n_pad, jnp.int32(n_seqs),
-                                         out_cap)
-        n_rows = int(n_rows)
-        # slice to a geometric bucket before the D2H pull: a slice sized
-        # by the exact (varying) n_rows would recompile every call
-        sl = min(bucket_geom(max(n_rows, 1), lo=4096), out_cap)
-        word_a = np.asarray(buf_a[:sl])[:n_rows]
-        word_b = np.asarray(buf_b[:sl])[:n_rows]
+        n_rows = int(_count_rows(g["emit"], g["self_emit"], g["centre"],
+                                 n_pad, jnp.int32(n_seqs)))
+        # scatter buffers sized by the true row count (bucketed so the
+        # varying n_rows does not recompile every call)
+        sl = bucket_geom(max(n_rows, 1), lo=4096)
+        out = _finalize(g, n_pad, jnp.int32(n_seqs), sl)
+        del g
+        qs_np = np.asarray(out[0])[:n_rows]
+        t = np.asarray(out[1])[:n_rows].astype(np.int64)
+        sc_np = np.asarray(out[2])[:n_rows]
+        dg_np = np.asarray(out[3])[:n_rows]
 
-    q = (word_a >> np.uint64(22)).astype(np.int64)
-    t = ((word_a >> np.uint64(1)) & np.uint64((1 << 21) - 1)).astype(np.int64)
-    is_self = (word_a & np.uint64(1)).astype(bool)
-    score = ((word_b >> np.uint64(16)).astype(np.int64)
-             - (1 << 17)).astype(np.int32)
-    diag = ((word_b & np.uint64(0xFFFF)).astype(np.int64)
-            - (1 << 15)).astype(np.int32)
+    q = (qs_np >> np.uint32(1)).astype(np.int64)
+    is_self = (qs_np & np.uint32(1)).astype(bool)
+    score = (sc_np.astype(np.int64) - (1 << 17)).astype(np.int32)
+    diag = (dg_np.astype(np.int64) - (1 << 15)).astype(np.int32)
 
     keys = seqdb.keys
     qkey = keys[q].astype(np.uint32)

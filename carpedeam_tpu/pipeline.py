@@ -60,7 +60,7 @@ class Checkpointer:
 
 def _pick_stage_impls(params: Params):
     """Choose host-oracle, device-kernel or mesh-sharded implementations
-    for the two batched stages (all bit-identical; accelerator paths pay
+    for the batched stages (all bit-identical; accelerator paths pay
     per-shape compilation, amortised by shape bucketing).
 
     use_device: "0" host, "1" single device (XLA kernels), "pallas"
@@ -68,28 +68,64 @@ def _pick_stage_impls(params: Params):
     window extraction runs as vectorised lane rotations instead of XLA
     gathers), "mesh" shard_map over all local devices, "auto" = "pallas"
     on TPU, "1" on other accelerators (the Pallas kernels use pltpu
-    memory spaces and only run interpreted on CPU), else "0"."""
+    memory spaces and only run interpreted on CPU), else "0".
+
+    Returns (kmermatcher_fn, rescore_fn, correction_fn, wants_planes).
+    The device kmermatcher (ops/kmer_tpu.py) joins the device paths
+    under `kmer_device` ("auto": device on TPU backends when the
+    workload is large enough that the measured device win beats the
+    per-dispatch tunnel overhead; see CARPEDEAM_KMER_DEVICE)."""
     use = params.use_device
     if use == "auto":
         from .utils import device_is_accelerator, device_is_tpu
         use = ("pallas" if device_is_tpu()
                else "1" if device_is_accelerator() else "0")
+    km = _pick_kmermatcher(use, params)
     if use == "mesh":
         import jax
 
         from .parallel.mesh import (correction_sharded, make_mesh,
                                     rescorediagonal_sharded)
         mesh = make_mesh(len(jax.devices()))
-        return rescorediagonal_sharded(mesh), correction_sharded(mesh), False
+        return (km, rescorediagonal_sharded(mesh), correction_sharded(mesh),
+                False)
     if use == "pallas":
         from .ops.correction_pallas import correction_pallas
         from .ops.rescore_pallas import rescorediagonal_pallas
-        return rescorediagonal_pallas, correction_pallas, True
+        return km, rescorediagonal_pallas, correction_pallas, True
     if use == "1":
         from .ops.correction_tpu import correction_tpu
         from .ops.rescore_tpu import rescorediagonal_tpu
-        return rescorediagonal_tpu, correction_tpu, True
-    return rescorediagonal, correction, False
+        return km, rescorediagonal_tpu, correction_tpu, True
+    return km, rescorediagonal, correction, False
+
+
+def _pick_kmermatcher(use: str, params: Params):
+    """kmermatcher routing: the device implementation replaces the host
+    path on TPU device modes for workloads past the break-even size
+    (device dispatch + D2H overhead is constant; the host sort grows
+    linearly — measured cross-over ~100k reads on v5e).  Override with
+    CARPEDEAM_KMER_DEVICE=0/1."""
+    mode = os.environ.get("CARPEDEAM_KMER_DEVICE", "auto")
+    if mode == "0":
+        return kmermatcher
+
+    def km(seqdb, k, kps, scale, only_ext, hash_shift=67,
+           cov_mode=0, cov_thr=0.0):
+        from .utils import device_is_tpu
+        dev = mode == "1" or (mode == "auto" and use in ("pallas", "1")
+                              and device_is_tpu()
+                              and len(seqdb) >= 100_000)
+        if dev:
+            from .ops.kmer_tpu import kmermatcher_device
+            try:
+                return kmermatcher_device(seqdb, k, kps, scale, only_ext,
+                                          hash_shift, cov_mode, cov_thr)
+            except ValueError:
+                pass        # packing budget exceeded: host path below
+        return kmermatcher(seqdb, k, kps, scale, only_ext, hash_shift,
+                           cov_mode, cov_thr)
+    return km
 
 
 def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
@@ -100,7 +136,8 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
     """
     ck = Checkpointer(tmp_dir)
     log = progress or (lambda *_: None)
-    rescore_fn, correction_fn, wants_planes = _pick_stage_impls(params)
+    kmermatcher_fn, rescore_fn, correction_fn, wants_planes = \
+        _pick_stage_impls(params)
 
     def _shared_planes(db):
         """Pack + device_put the sequence planes ONCE per iteration; the
@@ -143,7 +180,7 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
 
         if read_phase:
             with timer.time(f"kmermatcher_{step}"):
-                pref = kmermatcher(cur, params.kmer_size_reads,
+                pref = kmermatcher_fn(cur, params.kmer_size_reads,
                                    params.kmers_per_sequence,
                                    params.kmers_per_sequence_scale,
                                    params.include_only_extendable_reads,
@@ -170,7 +207,7 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                                     **_shared_planes(corr))
         else:
             with timer.time(f"kmermatcher_{step}"):
-                pref = kmermatcher(cur, params.kmer_size_contigs,
+                pref = kmermatcher_fn(cur, params.kmer_size_contigs,
                                    params.kmers_per_sequence,
                                    params.kmers_per_sequence_scale,
                                    params.include_only_extendable_contigs,
