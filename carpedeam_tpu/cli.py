@@ -32,6 +32,13 @@ def _load_reads(paths: list[str], db_mode: bool = False):
 
 
 def main(argv=None) -> int:
+    # Honor an explicit JAX_PLATFORMS request: site hooks on some rigs
+    # force an accelerator platform into jax.config, silently overriding
+    # the environment variable (jax reads the config, not the env, once
+    # a hook has set it).  Pin the config before any backend init.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     argv = argv if argv is not None else sys.argv[1:]
     parser = argparse.ArgumentParser(prog="carpedeam-tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -103,11 +110,20 @@ def main(argv=None) -> int:
         damage = DamageModel.load(params.ancient_damage_path)
         if args.command == "ancient_assemble":
             from .pipeline import ancient_assemble
+            # multi-process mode (the reference's --mpi-runner contract):
+            # launch one process per rank with CARPEDEAM_RANK/WORLD
+            # (+CARPEDEAM_COORD for jax.distributed) on a shared tmp_dir
+            from .parallel.driver import DistContext
+            dist = DistContext.from_env(os.path.join(tmp_dir, "dist"))
             rep = ancient_assemble(reads, params, damage, out_fasta=out_fasta,
                                    tmp_dir=tmp_dir, progress=lambda m: print(
-                                       f"[carpedeam-tpu] {m}"))
-            print(f"[carpedeam-tpu] wrote {len(rep)} contigs -> {out_fasta} "
-                  f"({time.time()-t0:.1f}s total)")
+                                       f"[carpedeam-tpu] {m}"), dist=dist)
+            if rep is None:
+                print(f"[carpedeam-tpu] rank {dist.rank}: done "
+                      f"({time.time()-t0:.1f}s total)")
+            else:
+                print(f"[carpedeam-tpu] wrote {len(rep)} contigs -> "
+                      f"{out_fasta} ({time.time()-t0:.1f}s total)")
             if prof_dir:
                 import jax
                 jax.profiler.stop_trace()

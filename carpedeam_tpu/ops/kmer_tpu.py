@@ -341,14 +341,17 @@ def _assign_groups(wa_s, wb2_s, include_only_extendable: bool,
     keep = valid & ~singleton
 
     # group-head lookup: i32 cummax of head indices (native fast
-    # reduce-window lowering; u64 scans explode the TPU compile) + small
-    # gathers of the head's attributes
+    # reduce-window lowering; u64 scans explode the TPU compile) + ONE
+    # u64 gather of the head's packed wb2 word — XLA:TPU random gathers
+    # run ~60M elem/s, so four separate i32 gathers cost ~12s at 48M
     first_idx = jnp.where(new_group, idx, 0)
     rep_idx = jax.lax.cummax(first_idx)
-    rep_fwd = fwd[rep_idx]
-    rep_len = seq_len[rep_idx]
-    rep_pos = pos[rep_idx]
-    centre = ids[rep_idx]
+    rep_wb2 = wb2_s[rep_idx]
+    rep_fwd = (rep_wb2 & _u64(1)).astype(I32)
+    rep_pos = ((rep_wb2 >> _u64(1)) & _u64((1 << B_LEN) - 1)).astype(I32)
+    centre = ((rep_wb2 >> _u64(B_LEN + 1))
+              & _u64((1 << B_ID) - 1)).astype(I32)
+    rep_len = lmax - (rep_wb2 >> _u64(B_ID + B_LEN + 1)).astype(I32)
 
     rep_is_rev = rep_fwd == 0
     tgt_is_rev = fwd == 0
@@ -500,16 +503,27 @@ def _pair_scan(kept, centre, member, diagonal, fwd):
 
     partial_cnt = dre - idx + 1
     partial_j = dre
-    # full runs after the partial one: suffix argmax at dre+1 (clamped)
+    # full runs after the partial one: suffix argmax at dre+1 (clamped).
+    # (suf_s, suf_j) zip into one u64 and (diag, rev) into one i32 so
+    # the lookups cost two gathers instead of four (XLA:TPU random
+    # gathers are the dominant warm cost at 48M rows)
     has_full = dre < mre
     nxt = jnp.clip(dre + 1, 0, M - 1)
-    full_s = jnp.where(has_full, suf_s[nxt], -1)
-    full_j = jnp.where(has_full, suf_j[nxt], -1)
+    suf64 = ((suf_s + (1 << 30)).astype(U64) << _u64(32)) \
+        | (suf_j + 1).astype(U64)
+    v = suf64[nxt]
+    full_s = jnp.where(has_full,
+                       (v >> _u64(32)).astype(I32) - (1 << 30), -1)
+    full_j = jnp.where(has_full,
+                       (v & _u64(0xFFFFFFFF)).astype(I32) - 1, -1)
     take_full = (full_s > partial_cnt) | ((full_s == partial_cnt)
                                           & (full_j > partial_j))
     best_j = jnp.where(take_full, full_j, partial_j)
-    best_diag = diagonal[best_j]
-    best_rev = is_rev[best_j]
+    doff = jnp.int32(1 << B_LEN)
+    dr_pack = ((diagonal + doff) << 1) | is_rev.astype(I32)
+    dr = dr_pack[best_j]
+    best_diag = (dr >> 1) - doff
+    best_rev = (dr & 1).astype(bool)
     top = mre - idx + 1
 
     emit = new_pair & (member != centre)

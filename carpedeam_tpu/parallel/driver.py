@@ -1,0 +1,133 @@
+"""Pipeline-level multi-process distribution (the `--mpi-runner` role).
+
+The reference drives the whole binary under mpirun
+(lib/mmseqs/src/commons/Parameters.cpp:150 RUNNER); the two stages with
+MPI hooks split their work by rank — kmermatcher by 16-bit hash ranges
+(kmermatcher.cpp:636-664) and rescorediagonal by query record ranges
+(rescorediagonal.cpp:400-422) — with rank 0 merging results through the
+shared filesystem; every other stage's output is produced once and
+shared.  This module is the jax.distributed equivalent: every process
+runs `ancient_assemble` with the same arguments plus
+CARPEDEAM_RANK/CARPEDEAM_WORLD (+ CARPEDEAM_COORD host:port), the
+sharded stages split exactly like the reference, and non-zero ranks
+resume each iteration from rank 0's stage checkpoints.  The distributed
+output is bit-identical to the single-process run
+(tests/test_distributed.py::test_two_process_pipeline).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import time
+
+import numpy as np
+
+from . import distributed as D
+
+
+class DistContext:
+    """Process-group context for the distributed pipeline.
+
+    `barrier()` blocks until every rank arrives.  With a coordinator the
+    barrier is jax.distributed's global device sync; without one (single
+    host, plain multi-process launch) a shared-filesystem counter
+    barrier in `shard_dir` is used.
+    """
+
+    def __init__(self, rank: int, world: int, shard_dir: str,
+                 use_jax: bool = False):
+        self.rank = rank
+        self.world = world
+        self.shard_dir = shard_dir
+        self._use_jax = use_jax
+        self._epoch = 0
+        os.makedirs(shard_dir, exist_ok=True)
+
+    @classmethod
+    def from_env(cls, shard_dir: str) -> "DistContext | None":
+        world = int(os.environ.get("CARPEDEAM_WORLD", "1"))
+        if world <= 1:
+            return None
+        rank = int(os.environ.get("CARPEDEAM_RANK", "0"))
+        coord = os.environ.get("CARPEDEAM_COORD")
+        if coord:
+            D.initialize(coord, world, rank)
+            return cls(rank, world, shard_dir, use_jax=True)
+        return cls(rank, world, shard_dir, use_jax=False)
+
+    def barrier(self, timeout: float = 600.0) -> None:
+        if self._use_jax:
+            D.psum_barrier()
+            return
+        # shared-filesystem counter barrier (one marker per rank/epoch)
+        self._epoch += 1
+        me = os.path.join(self.shard_dir,
+                          f"barrier_{self._epoch}.{self.rank}")
+        with open(me, "w"):
+            pass
+        deadline = time.monotonic() + timeout
+        while True:
+            n = sum(os.path.exists(os.path.join(
+                self.shard_dir, f"barrier_{self._epoch}.{r}"))
+                for r in range(self.world))
+            if n == self.world:
+                return
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"rank {self.rank}: barrier {self._epoch} timed out "
+                    f"({n}/{self.world})")
+            time.sleep(0.02)
+
+
+def dist_kmermatcher(dist: DistContext, seqdb, k: int, kps: int,
+                     scale: float, only_ext: bool, hash_shift: int,
+                     step: int, n_shards: int | None = None):
+    """Distributed kmermatcher: hash-range shards round-robin over
+    ranks, spill to the shared dir, rank 0 merges + groups/scans, every
+    rank loads the resulting PrefDB (all ranks need it for the rescore
+    range split)."""
+    from ..aligndb import PrefDB
+
+    n_shards = n_shards or max(dist.world * 2, 4)
+    sub = os.path.join(dist.shard_dir, f"km_{step}")
+    pref = D.process_kmermatcher(seqdb, (k, kps, scale, only_ext,
+                                         hash_shift), sub,
+                                 dist.rank, dist.world, n_shards,
+                                 barrier=dist.barrier)
+    if dist.rank == 0:
+        pref.save(os.path.join(sub, "pref"))
+    dist.barrier()
+    if pref is None:
+        pref = PrefDB.load(os.path.join(sub, "pref"))
+    return pref
+
+
+def dist_rescorediagonal(dist: DistContext, seqdb, pref, seq_id_thr,
+                         eval_thr, aln_len_thr, step: int):
+    """Distributed rescorediagonal: query ranges of ~equal residue
+    count per rank (Util::decomposeDomainByAminoAcid), spill, rank-0
+    merge in range order — bit-identical to the full run.  Returns the
+    merged AlnDB on rank 0, None elsewhere."""
+    key2id = seqdb.key_to_id()
+    qlens = seqdb.lengths[[key2id[int(kk)] for kk in pref.qkeys]]
+    ranges = D.decompose_by_residue_count(qlens, dist.world)
+    sub = os.path.join(dist.shard_dir, f"aln_{step}")
+    os.makedirs(sub, exist_ok=True)
+    lo, hi = ranges[dist.rank]
+    if lo < hi:
+        part = D.rescorediagonal_range(seqdb, pref, seq_id_thr,
+                                       (lo, hi), eval_thr, aln_len_thr)
+        tmp = os.path.join(sub, f"part_{dist.rank}.pkl.tmp")
+        with open(tmp, "wb") as fh:
+            pickle.dump(part, fh)
+        os.replace(tmp, os.path.join(sub, f"part_{dist.rank}.pkl"))
+    dist.barrier()
+    if dist.rank != 0:
+        return None
+    parts = []
+    for r in range(dist.world):
+        p = os.path.join(sub, f"part_{r}.pkl")
+        if os.path.exists(p):
+            with open(p, "rb") as fh:
+                parts.append(pickle.load(fh))
+    return D.merge_aln_ranges(parts)

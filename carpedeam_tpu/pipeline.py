@@ -101,11 +101,13 @@ def _pick_stage_impls(params: Params):
 
 
 def _pick_kmermatcher(use: str, params: Params):
-    """kmermatcher routing: the device implementation replaces the host
-    path on TPU device modes for workloads past the break-even size
-    (device dispatch + D2H overhead is constant; the host sort grows
-    linearly — measured cross-over ~100k reads on v5e).  Override with
-    CARPEDEAM_KMER_DEVICE=0/1."""
+    """kmermatcher routing.  The device implementation (ops/kmer_tpu.py)
+    is bit-identical and fully wired, but kmermatcher is SORT-bound and
+    a v5e's sort/gather throughput loses to the native host path at
+    every measured size (120k reads: 5.0s device vs 1.5s host; 1M:
+    66s vs 21s — XLA:TPU 1D gathers run ~60M elem/s), so "auto" keeps
+    the host path and CARPEDEAM_KMER_DEVICE=1 opts in.  The dense
+    likelihood stages are where the TPU wins; see BENCH notes."""
     mode = os.environ.get("CARPEDEAM_KMER_DEVICE", "auto")
     if mode == "0":
         return kmermatcher
@@ -113,9 +115,7 @@ def _pick_kmermatcher(use: str, params: Params):
     def km(seqdb, k, kps, scale, only_ext, hash_shift=67,
            cov_mode=0, cov_thr=0.0):
         from .utils import device_is_tpu
-        dev = mode == "1" or (mode == "auto" and use in ("pallas", "1")
-                              and device_is_tpu()
-                              and len(seqdb) >= 100_000)
+        dev = mode == "1" and device_is_tpu()
         if dev:
             from .ops.kmer_tpu import kmermatcher_device
             try:
@@ -129,11 +129,20 @@ def _pick_kmermatcher(use: str, params: Params):
 
 
 def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
-                 tmp_dir: str | None = None, progress=None):
+                 tmp_dir: str | None = None, progress=None, dist=None):
     """The inner assembly loop (data/nuclassemble.sh:97-233).
 
     Returns (result SeqDB, cycle_all keys set, source SeqDB).
+
+    `dist` (parallel.driver.DistContext) runs the loop across a process
+    group: kmermatcher splits by hash ranges and rescorediagonal by
+    query record ranges exactly like the reference's MPI hooks; the
+    remaining stages run on rank 0 and other ranks resume each
+    iteration from its checkpoints (requires a shared `tmp_dir`).
+    Bit-identical to the single-process run.
     """
+    if dist is not None and not tmp_dir:
+        raise ValueError("distributed mode requires a shared tmp_dir")
     ck = Checkpointer(tmp_dir)
     log = progress or (lambda *_: None)
     kmermatcher_fn, rescore_fn, correction_fn, wants_planes = \
@@ -163,33 +172,65 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
     cycle_all: dict[int, bytes] = {}   # accumulated circular contigs
     cycle_ext: dict[int, bool] = {}
 
+    def _restore(step, read_phase, name):
+        nonlocal cur
+        cur = SeqDB.load(ck.path(name))
+        if not read_phase and ck.done(f"cycle_{step}"):
+            cyc = SeqDB.load(ck.path(f"cycle_{step}"))
+            for j in range(len(cyc)):
+                cycle_all[int(cyc.keys[j])] = bytes(cyc.seq_bytes(j))
+                cycle_ext[int(cyc.keys[j])] = bool(cyc.ext[j])
+            keep = ~np.isin(cur.keys, cyc.keys)
+            cur = cur.select(np.nonzero(keep)[0])
+
     for step in range(params.num_iterations):
         read_phase = step < params.num_iterations_reads
         name = f"assembly_{'reads' if read_phase else 'contigs'}_{step}"
         if ck.done(name):
-            cur = SeqDB.load(ck.path(name))
-            if not read_phase and ck.done(f"cycle_{step}"):
-                cyc = SeqDB.load(ck.path(f"cycle_{step}"))
-                for j in range(len(cyc)):
-                    cycle_all[int(cyc.keys[j])] = bytes(cyc.seq_bytes(j))
-                    cycle_ext[int(cyc.keys[j])] = bool(cyc.ext[j])
-                keep = ~np.isin(cur.keys, cyc.keys)
-                cur = cur.select(np.nonzero(keep)[0])
+            _restore(step, read_phase, name)
             log(f"step {step}: restored from checkpoint")
             continue
 
-        if read_phase:
+        pref = aln = None
+        if dist is not None:
+            from .parallel.driver import (dist_kmermatcher,
+                                          dist_rescorediagonal)
             with timer.time(f"kmermatcher_{step}"):
-                pref = kmermatcher_fn(cur, params.kmer_size_reads,
-                                   params.kmers_per_sequence,
-                                   params.kmers_per_sequence_scale,
-                                   params.include_only_extendable_reads,
-                                   params.hash_shift)
-            shared = _shared_planes(cur)
+                pref = dist_kmermatcher(
+                    dist, cur,
+                    params.kmer_size_reads if read_phase
+                    else params.kmer_size_contigs,
+                    params.kmers_per_sequence,
+                    params.kmers_per_sequence_scale,
+                    params.include_only_extendable_reads if read_phase
+                    else params.include_only_extendable_contigs,
+                    params.hash_shift, step)
             with timer.time(f"rescorediagonal_{step}"):
-                aln = rescore_fn(cur, pref, params.seq_id_thr,
-                                 params.eval_thr, params.aln_len_thr,
-                                 **shared)
+                aln = dist_rescorediagonal(
+                    dist, cur, pref,
+                    params.seq_id_thr if read_phase
+                    else params.corr_contig_seq_id,
+                    params.eval_thr, params.aln_len_thr, step)
+            if dist.rank != 0:
+                dist.barrier()      # rank 0 writes the iteration output
+                _restore(step, read_phase, name)
+                log(f"step {step}: restored from rank 0")
+                continue
+
+        if read_phase:
+            if pref is None:
+                with timer.time(f"kmermatcher_{step}"):
+                    pref = kmermatcher_fn(cur, params.kmer_size_reads,
+                                       params.kmers_per_sequence,
+                                       params.kmers_per_sequence_scale,
+                                       params.include_only_extendable_reads,
+                                       params.hash_shift)
+            shared = _shared_planes(cur)
+            if aln is None:
+                with timer.time(f"rescorediagonal_{step}"):
+                    aln = rescore_fn(cur, pref, params.seq_id_thr,
+                                     params.eval_thr, params.aln_len_thr,
+                                     **shared)
             with timer.time(f"correction_{step}"):
                 corr = correction_fn(cur, aln, damage,
                                      params.corr_reads_ry_seq_id,
@@ -206,17 +247,19 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                                     params.min_cov_safe,
                                     **_shared_planes(corr))
         else:
-            with timer.time(f"kmermatcher_{step}"):
-                pref = kmermatcher_fn(cur, params.kmer_size_contigs,
-                                   params.kmers_per_sequence,
-                                   params.kmers_per_sequence_scale,
-                                   params.include_only_extendable_contigs,
-                                   params.hash_shift)
+            if pref is None:
+                with timer.time(f"kmermatcher_{step}"):
+                    pref = kmermatcher_fn(cur, params.kmer_size_contigs,
+                                       params.kmers_per_sequence,
+                                       params.kmers_per_sequence_scale,
+                                       params.include_only_extendable_contigs,
+                                       params.hash_shift)
             shared = _shared_planes(cur)
-            with timer.time(f"rescorediagonal_{step}"):
-                aln = rescore_fn(cur, pref, params.corr_contig_seq_id,
-                                 params.eval_thr, params.aln_len_thr,
-                                 **shared)
+            if aln is None:
+                with timer.time(f"rescorediagonal_{step}"):
+                    aln = rescore_fn(cur, pref, params.corr_contig_seq_id,
+                                     params.eval_thr, params.aln_len_thr,
+                                     **shared)
             with timer.time(f"correction_{step}"):
                 corr = correction_fn(cur, aln, damage,
                                      params.corr_reads_ry_seq_id,
@@ -247,6 +290,8 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                     cycle_ext[int(cyc.keys[j])] = bool(cyc.ext[j])
                 log(f"step {step}: {len(cyc)} circular contigs set aside")
                 cur = none_cyc
+        if dist is not None:
+            dist.barrier()          # other ranks restore this iteration
 
     # EPILOGUE (nuclassemble.sh:201-233)
     # RESULT = last contig assembly minus cycles, plus all accumulated cycles
@@ -278,7 +323,7 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
 
 def ancient_assemble(reads: SeqDB, params: Params, damage: DamageModel,
                      out_fasta: str | None = None, tmp_dir: str | None = None,
-                     progress=None):
+                     progress=None, dist=None):
     """The `ancient_assemble` (guidedNuclAssemble) workflow: nuclassemble
     with the guided parameter overrides, linclust redundancy reduction,
     representative extraction, headers and FASTA output
@@ -299,7 +344,11 @@ def ancient_assemble(reads: SeqDB, params: Params, damage: DamageModel,
     assembly, cycle_keys, _ = nuclassemble(
         reads, p, damage,
         tmp_dir=os.path.join(tmp_dir, "nuclassembly_tmp") if tmp_dir else None,
-        progress=progress)
+        progress=progress, dist=dist)
+    if dist is not None and dist.rank != 0:
+        # the epilogue (linclust + FASTA) is rank 0's; mirror the
+        # reference where only the master writes merged results
+        return None
     log(f"nuclassemble: {len(assembly)} contigs, {len(cycle_keys)} circular")
 
     # redundancy reduction
