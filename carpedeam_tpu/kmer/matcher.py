@@ -463,6 +463,17 @@ def kmermatcher(seqdb: SeqDB, k: int, kmers_per_sequence: int,
     ent = extract_selected_kmers_batched(seqdb, k, kmers_per_sequence,
                                          kmers_per_sequence_scale, hash_shift,
                                          max_block_residues=max_block_residues)
+    return pref_from_entries(seqdb, ent, include_only_extendable,
+                             cov_mode, cov_thr, device_sort)
+
+
+def pref_from_entries(seqdb: SeqDB, ent: dict,
+                      include_only_extendable: bool, cov_mode: int = 0,
+                      cov_thr: float = 0.0,
+                      device_sort: bool | None = None) -> PrefDB:
+    """(Unsorted) selected k-mer entry table -> PrefDB: the sort +
+    assignGroup + pair-scan half of the kmermatcher stage, shared by the
+    single-shard path and the distributed rank-0 merge."""
     # sort by (kmer|b63 asc, seqLen desc, id asc, pos asc)  (:409-415)
     if device_sort is None:
         # the full device stage lives in ops/kmer_tpu.kmermatcher_device

@@ -253,8 +253,41 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
             side_valid[cc] = valid
             lik_mod[cc] = np.where(valid, lik, 0.0)
             aln_count[cc] = np.where(valid, total, 0)
-        return _finish(cand, seq_id, ry_seq_id, side_total, side_is_left,
-                       side_valid, lik_mod, aln_count)
+        res = _finish(cand, seq_id, ry_seq_id, side_total, side_is_left,
+                      side_valid, lik_mod, aln_count)
+        # ---- f64 precision guard -------------------------------------
+        # the device likelihood sums are f32 (worst-case ~0.3 absolute
+        # error at 512-term windows); queue membership AND queue ORDER
+        # compare s_len_norm, so every potential queue entrant — any
+        # record within a safe logit margin of the sRatio threshold —
+        # is re-evaluated by the f64 host oracle.  Bit-identical
+        # decisions at ~1% of the records' cost (this is what made the
+        # 120k-read assembly differ from the host path by 3 reads).
+        not_inside = tlen != alen
+        queue_pre = cand & ((ts == 0) | (qs == 0)) & not_inside \
+            & not_identity \
+            & (ry_seq_id.astype(np.float32) >= np.float32(ry_seq_id_thr)) \
+            & (seq_id.astype(np.float32) >= np.float32(seq_id_thr))
+        is_left_like = (qs == 0) & (te == tlen - 1)
+        max_aln_all = np.where(is_left_like, res["max_left"][qid],
+                               res["max_right"][qid])
+        logit = max_aln_all * log_rand - res["s_len_norm"]
+        thr_logit = np.log(1.0 / likelihood_thr - 1.0) \
+            if 0.0 < likelihood_thr < 1.0 else 0.0
+        sub = np.nonzero(queue_pre & (logit < thr_logit + 1.0))[0]
+        if len(sub):
+            h = _consensus_likelihood_host(seqdb, qid, tid, qs, qe, ts,
+                                           te, alen, logm, sub, max_len)
+            lm = np.where(h["valid"], h["lik_mod"], 0.0)
+            ac = np.where(h["valid"], h["aln_count"], 0)
+            ma = max_aln_all[sub]
+            sln = lm + (ma - ac) * log_excess
+            with np.errstate(over="ignore"):
+                sr = 1.0 / (1.0 + np.exp(ma * log_rand - sln))
+            res["s_len_norm"][sub] = sln
+            res["s_ratio"][sub] = sr
+            res["queue_ok"][sub] = queue_pre[sub] & (sr > likelihood_thr)
+        return res
 
     # ---- native fast path: passes A-C + consensus + likelihood in C++ ---
     from .. import native

@@ -113,21 +113,33 @@ def initialize(coordinator: str, num_processes: int, process_id: int,
 def process_kmermatcher(seqdb: SeqDB, params_tuple, shard_dir: str,
                         process_id: int, num_processes: int,
                         n_shards: int, barrier=None):
-    """Per-process kmermatcher step: compute this process's shards, spill
-    to the shared filesystem, and on process 0 merge + group/scan.
+    """Per-process kmermatcher step: ONE extraction pass per rank
+    partitioned into this rank's hash-range shards (raw, unsorted),
+    spill to the shared filesystem, and on process 0 a concat + the
+    fused native sort/group/scan (kmer.matcher.pref_from_entries).
 
-    Returns the PrefDB on process 0, None elsewhere.  `barrier` is any
-    callable that blocks until all processes reach it (on a jax.distributed
-    process group use `parallel.distributed.psum_barrier`)."""
+    The merged multiset equals the single-shard entry table, so the
+    result is bit-identical to the single-process stage regardless of
+    spill order.  Returns the PrefDB on process 0, None elsewhere.
+    `barrier` is any callable that blocks until all processes reach it
+    (on a jax.distributed process group use psum_barrier)."""
+    from ..kmer.matcher import pref_from_entries
+
     k, kps, scale, ioe, hash_shift = params_tuple
     os.makedirs(shard_dir, exist_ok=True)
-    for s in shards_for_process(n_shards, process_id, num_processes):
-        ent = extract_shard_entries(seqdb, k, kps, scale, hash_shift,
-                                    s, n_shards)
-        tmp = os.path.join(shard_dir, f"split_{s}.pkl.tmp")
-        with open(tmp, "wb") as fh:
-            pickle.dump(ent, fh)
-        os.replace(tmp, os.path.join(shard_dir, f"split_{s}.pkl"))
+    mine = shards_for_process(n_shards, process_id, num_processes)
+    if mine:
+        ent = extract_selected_kmers_batched(seqdb, k, kps, scale,
+                                             hash_shift)
+        ranges = kmer_hash_ranges(n_shards)
+        for s in mine:
+            lo, hi = ranges[s]
+            m = (ent["h16"] >= lo) & (ent["h16"] <= hi)
+            sub = {k_: v[m] for k_, v in ent.items()}
+            tmp = os.path.join(shard_dir, f"split_{s}.pkl.tmp")
+            with open(tmp, "wb") as fh:
+                pickle.dump(sub, fh)
+            os.replace(tmp, os.path.join(shard_dir, f"split_{s}.pkl"))
     if barrier is not None:
         barrier()
     if process_id != 0:
@@ -136,10 +148,9 @@ def process_kmermatcher(seqdb: SeqDB, params_tuple, shard_dir: str,
     for s in range(n_shards):
         with open(os.path.join(shard_dir, f"split_{s}.pkl"), "rb") as fh:
             shards.append(pickle.load(fh))
-    ent = merge_shard_entries(shards)
-    centre_id, centre_fwd, member_id, diagonal, _ = assign_groups(
-        ent["kmer"], ent["id"], ent["pos"], ent["seq_len"], ioe)
-    return build_pref_db(seqdb, centre_id, centre_fwd, member_id, diagonal)
+    ent = {k_: np.concatenate([sh[k_] for sh in shards])
+           for k_ in shards[0]}
+    return pref_from_entries(seqdb, ent, ioe)
 
 
 def psum_barrier() -> None:

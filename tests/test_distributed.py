@@ -105,3 +105,40 @@ def test_two_process_jax_distributed(example_reads, tmp_path):
     dist = PrefDB.load(str(tmp_path / "pref_dist"))
     single = kmermatcher(db, 20, 200, 0.2, False)
     assert _pref_equal(single, dist), outs
+
+
+@pytest.mark.skipif(os.environ.get("CARPEDEAM_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+def test_two_process_pipeline(example_reads, tmp_path):
+    """Full `ancient_assemble` across two ranks (shared-filesystem
+    barrier, CARPEDEAM_RANK/WORLD env — the reference's --mpi-runner
+    contract): kmermatcher splits by hash ranges, rescorediagonal by
+    record ranges, rank 0 writes, and the final FASTA is byte-identical
+    to the single-process run."""
+    db = example_reads.select(np.arange(0, len(example_reads), 8))
+    db.headers = [f"r{i}" for i in range(len(db))]
+    reads = tmp_path / "sub.fasta"
+    db.to_fasta(str(reads))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+
+    def run(tag, world):
+        out = tmp_path / f"{tag}.fasta"
+        procs = []
+        for rank in range(world):
+            e = dict(env)
+            if world > 1:
+                e["CARPEDEAM_WORLD"] = str(world)
+                e["CARPEDEAM_RANK"] = str(rank)
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "carpedeam_tpu.cli",
+                 "ancient_assemble", str(reads), str(out),
+                 str(tmp_path / f"tmp_{tag}"), "--ancient-damage",
+                 "/root/reference/example/dhigh"],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=e))
+        outs = [p.communicate(timeout=240)[0].decode() for p in procs]
+        assert all(p.returncode == 0 for p in procs), outs
+        return out.read_bytes()
+
+    single = run("single", 1)
+    dist = run("dist", 2)
+    assert single == dist
