@@ -320,69 +320,54 @@ def build_correction_blocks(rec, lengths, n_seqs, g: int = G,
             "slot_valid": slot_valid, "heavy_qids": heavy_qids}
 
 
-def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
-                      corr_reads_ry_seq_id: float, seq_id_thr: float,
-                      planes=None, lengths=None) -> SeqDB:
-    """Fused-Pallas drop-in for ops.correction_tpu.correction_tpu."""
-    from ..constants import CHAR_TO_ACGT
-    from ..utils import bucket_len
-    from .correction_tpu import correction_tpu, prepare_correction_inputs
-    from .rescore_tpu import pack_sequences
+# device length levels for correction: queries run in the narrowest
+# level holding the query AND every target in its surviving stack;
+# beyond the last level (VMEM: the per-base count scratch is 2G x 11L
+# f32) the per-query host oracle takes over.
+CORR_LEN_LEVELS = (512, 2048)
 
-    n = len(seqdb)
-    # device plane width is capped at 512: queries longer than the cap
-    # (extended contigs, coverage-sparse) and queries whose stacks touch
-    # longer targets run through the per-query host oracle instead —
-    # the short-read bulk of the DB stays on device in every phase.
-    db_max = int(seqdb.lengths.max()) if n else 1
-    cap = bucket_len(min(512, db_max))
-    if planes is None or planes["sym"].shape[1] > cap:
-        planes, lengths = pack_sequences(seqdb, max_len=cap)
+
+def _run_correction_level(planes, lens, rec, rows, q_lvl, t_row_lvl,
+                          ext_lvl, tlen_lvl, n_lvl, damage, out_flat,
+                          offsets, qid_of, lens_global):
+    """One length level: pack blocks, run the fused kernel, write the
+    corrected bytes of this level's queries into out_flat.  Returns the
+    level's heavy query ids (stacks too deep for the record tile),
+    REMAPPED BACK to global ids."""
     max_len = planes["sym"].shape[1]
-
     G, REC_TILE = _tiles_for(max_len)
-    rec = prepare_correction_inputs(seqdb, aln, n, corr_reads_ry_seq_id,
-                                    seq_id_thr)
-    heavy_mask = None
-    if db_max > max_len:
-        lens_all = seqdb.lengths.astype(np.int64)
-        heavy_mask = lens_all > max_len
-        # queries whose surviving records reference long targets
-        tlen_rec = lens_all[rec["rec_t_row"] % n]
-        bad = rec["rec_keep_pre"] & (tlen_rec > max_len)
-        if bad.any():
-            heavy_mask = heavy_mask.copy()
-            heavy_mask[np.unique(rec["rec_q"][bad])] = True
-    blocks = build_correction_blocks(rec, lengths, n, g=G,
-                                     rec_tile=REC_TILE,
-                                     heavy_mask=heavy_mask)
+    rec_lvl = {"rec_keep_pre": rec["rec_keep_pre"][rows],
+               "rec_q": q_lvl,
+               "rec_qstart": rec["rec_qstart"][rows],
+               "rec_tstart": rec["rec_tstart"][rows],
+               "rec_alen": rec["rec_alen"][rows],
+               "rec_ry_smin": rec["rec_ry_smin"][rows],
+               "rec_is_rev": rec["rec_is_rev"][rows]}
+    blocks = build_correction_blocks(rec_lvl, lens, n_lvl, g=G,
+                                     rec_tile=REC_TILE)
     if blocks is None:
-        # no packable query blocks (empty alignment / all filtered / only
-        # heavy stacks): the vectorised host oracle is exact and cheap here
-        from ..stages.correction import correction as correction_host
-        return correction_host(seqdb, aln, damage, corr_reads_ry_seq_id,
-                               seq_id_thr)
+        return qid_of[np.unique(q_lvl[rec_lvl["rec_keep_pre"]])] \
+            if rec_lvl["rec_keep_pre"].any() else np.zeros(0, np.int64)
     nb = blocks["nb"]
     sel, use = blocks["sel"], blocks["use"]
 
-    lens = np.asarray(lengths, dtype=np.int64)
     rscal = np.zeros((nb * REC_TILE, 8), dtype=np.int16)
-    rscal[:, 0] = rec["rec_qstart"][sel]
-    rscal[:, 1] = rec["rec_tstart"][sel]
-    rscal[:, 2] = rec["rec_alen"][sel]
-    rscal[:, 3] = lens[rec["rec_t_row"][sel] % n]
-    rscal[:, 4] = rec["rec_ry_smin"][sel]
+    rscal[:, 0] = rec_lvl["rec_qstart"][sel]
+    rscal[:, 1] = rec_lvl["rec_tstart"][sel]
+    rscal[:, 2] = rec_lvl["rec_alen"][sel]
+    rscal[:, 3] = tlen_lvl[sel]
+    rscal[:, 4] = rec_lvl["rec_ry_smin"][sel]
     rscal[:, 5] = use  # keep_pre already applied by the block builder
     rrow = blocks["qslot"].astype(np.int8)
-    rrow[:, 1, :] = (rec["rec_is_rev"][sel]
+    rrow[:, 1, :] = (rec_lvl["rec_is_rev"][sel]
                      & use).reshape(nb, REC_TILE).astype(np.int8)
 
     qscal = np.zeros((nb * G, 8), dtype=np.int16)
-    qscal[:, 0] = lens[blocks["slot_qid"]]
-    qscal[:, 1] = seqdb.ext[blocks["slot_qid"]] & blocks["slot_valid"]
+    qscal[:, 0] = np.asarray(lens)[blocks["slot_qid"]]
+    qscal[:, 1] = ext_lvl[blocks["slot_qid"]] & blocks["slot_valid"]
 
     seq_err = seq_error_profile(0.01)
-    log_err = np.log(seq_err).astype(np.float32)         # [t_obs? see below]
+    log_err = np.log(seq_err).astype(np.float32)
     log_f = np.log(np.maximum(damage.fwd, SMOOTHING_VALUE)).astype(np.float32)
     log_r = np.log(np.maximum(damage.rev, SMOOTHING_VALUE)).astype(np.float32)
     wtab = np.zeros((48, 16), dtype=np.float32)
@@ -394,37 +379,111 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
         wtab[44 + t, 0:4] = log_err[:, t]
 
     packed = np.asarray(_correction_pallas_device(
-        planes["sym"], rec["rec_q"][sel].astype(np.int32),
-        rec["rec_t_row"][sel].astype(np.int32),
+        planes["sym"], q_lvl[sel].astype(np.int32),
+        t_row_lvl[sel].astype(np.int32),
         rscal, rrow.reshape(nb * 8, REC_TILE),
         blocks["slot_qid"], qscal, wtab,
         nb=nb, max_len=max_len,
         interpret=jax.default_backend() == "cpu",
         g=G, rec_tile=REC_TILE))
 
-    # host epilogue (vectorised): passthrough by default, corrected where
-    # the packed coverage bit is set
-    total_len = int(seqdb.lengths.sum())
-    out_flat = seqdb.data[:total_len].copy()
-    offsets = seqdb.offsets.astype(np.int64)
     acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
     # un-nibble: block row b*G/2+g holds slots g (low) and g+G/2 (high)
     half = packed.reshape(nb, G // 2, max_len)
     full = np.concatenate([half & 15, (half >> 4) & 15], axis=1)
     full = full.reshape(nb * G, max_len)
     valid = np.nonzero(blocks["slot_valid"])[0]
-    qids = blocks["slot_qid"][valid]
+    qids_l = blocks["slot_qid"][valid]
+    qids_g = qid_of[qids_l]
     posg = np.arange(max_len)
     pv = full[valid]
-    m = (pv >= 4) & (posg[None, :] < lens[qids][:, None])
-    rows, cols = np.nonzero(m)
-    flat_idx = offsets[qids[rows]] + cols
-    out_flat[flat_idx] = acgt[pv[rows, cols] & 3]
+    m = (pv >= 4) & (posg[None, :] < lens_global[qids_g][:, None])
+    rows_m, cols = np.nonzero(m)
+    flat_idx = offsets[qids_g[rows_m]] + cols
+    out_flat[flat_idx] = acgt[pv[rows_m, cols] & 3]
+    return qid_of[blocks["heavy_qids"]]
 
-    # queries whose record stacks exceed the block's record tile run
-    # through the per-query host oracle (they are rare: deep-coverage
-    # stacks; exact by construction)
-    heavy = blocks["heavy_qids"]
+
+def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
+                      corr_reads_ry_seq_id: float, seq_id_thr: float,
+                      planes=None, lengths=None) -> SeqDB:
+    """Fused-Pallas drop-in for ops.correction_tpu.correction_tpu,
+    length-levelled: each query runs in the narrowest device level
+    (CORR_LEN_LEVELS) that holds it and every target in its surviving
+    record stack; only queries beyond the last level (or with stacks
+    deeper than the record tile) use the per-query host oracle."""
+    from ..utils import bucket_len
+    from .correction_tpu import prepare_correction_inputs
+    from .rescore_tpu import pack_sequences
+
+    n = len(seqdb)
+    db_max = int(seqdb.lengths.max()) if n else 1
+    rec = prepare_correction_inputs(seqdb, aln, n, corr_reads_ry_seq_id,
+                                    seq_id_thr)
+    lens_all = seqdb.lengths.astype(np.int64)
+
+    # per-query width requirement: own length and the longest target in
+    # the surviving stack
+    wq = lens_all.copy()
+    kp = np.nonzero(rec["rec_keep_pre"])[0]
+    if len(kp):
+        np.maximum.at(wq, rec["rec_q"][kp],
+                      lens_all[rec["rec_t_row"][kp] % n])
+
+    total_len = int(seqdb.lengths.sum())
+    out_flat = seqdb.data[:total_len].copy()
+    offsets = seqdb.offsets.astype(np.int64)
+    heavy_all: list[np.ndarray] = []
+
+    done_q = np.zeros(n, dtype=bool)
+    for lvl in CORR_LEN_LEVELS:
+        if done_q.all():
+            break
+        in_lvl = ~done_q & (wq <= lvl)
+        done_q |= in_lvl
+        if not in_lvl.any():
+            continue
+        rows = np.nonzero(rec["rec_keep_pre"]
+                          & in_lvl[rec["rec_q"]])[0]
+        qs_lvl = np.nonzero(in_lvl)[0]
+        if lvl == CORR_LEN_LEVELS[0] and planes is not None \
+                and planes["sym"].shape[1] <= bucket_len(lvl):
+            pl_b, len_b = planes, np.asarray(lengths)
+            qid_of = np.arange(n, dtype=np.int64)
+            q_lvl = rec["rec_q"][rows]
+            t_row_lvl = rec["rec_t_row"][rows]
+            ext_lvl = seqdb.ext
+            n_lvl = n
+        else:
+            sub = np.unique(np.concatenate(
+                [qs_lvl, rec["rec_t_row"][rows] % n]))
+            remap = np.full(n, -1, dtype=np.int64)
+            remap[sub] = np.arange(len(sub))
+            cap = bucket_len(min(lvl, int(wq[qs_lvl].max())))
+            pl_np, len_b = pack_sequences(seqdb, max_len=cap, ids=sub)
+            pl_b = {k: jax.device_put(v) for k, v in pl_np.items()}
+            n_lvl = len(sub)
+            qid_of = sub.astype(np.int64)
+            q_lvl = remap[rec["rec_q"][rows]]
+            tr = rec["rec_t_row"][rows]
+            t_row_lvl = remap[tr % n] + np.where(tr >= n, n_lvl, 0)
+            ext_lvl = seqdb.ext[sub]
+        heavy = _run_correction_level(
+            pl_b, len_b, rec, rows, q_lvl, t_row_lvl, ext_lvl,
+            lens_all[rec["rec_t_row"][rows] % n], n_lvl, damage,
+            out_flat, offsets, qid_of, lens_all)
+        if len(heavy):
+            heavy_all.append(np.asarray(heavy, dtype=np.int64))
+
+    rest = np.nonzero(~done_q)[0]
+    if len(rest):
+        heavy_all.append(rest.astype(np.int64))
+
+    # queries beyond the device levels or with record stacks exceeding
+    # the block's record tile run through the per-query host oracle
+    # (rare: very long contigs / deep-coverage stacks; exact)
+    heavy = np.unique(np.concatenate(heavy_all)) if heavy_all \
+        else np.zeros(0, np.int64)
     if len(heavy):
         from ..aligndb import AlnDB
         from ..stages.correction import correction_per_query

@@ -193,3 +193,45 @@ def test_lookup_keys_raises_on_stale_key(example_reads):
     if missing_mid[0] not in set(db.keys.tolist()):
         with pytest.raises(KeyError):
             db.lookup_keys(missing_mid)
+
+
+def test_correction_pallas_long_contig_levels(damage_model):
+    """Length-levelled correction: sequences past the 512-wide shared
+    plane run in the 2048 device level (not the host fallback) and the
+    whole DB matches the host oracle byte-for-byte."""
+    import carpedeam_tpu.ops.correction_pallas as CP
+    from carpedeam_tpu.kmer.matcher import kmermatcher
+
+    rng = np.random.default_rng(11)
+    genome = rng.choice(np.frombuffer(b"ACGT", np.uint8), 4000)
+    seqs = []
+    # long overlapping "contigs" (700-1500 bp) + short reads on them
+    for start, ln in [(0, 1500), (700, 1400), (1600, 900), (2200, 1300),
+                      (100, 700), (2900, 1000)]:
+        s = genome[start:start + ln].copy()
+        mut = rng.integers(0, ln, 5)
+        s[mut] = rng.choice(np.frombuffer(b"ACGT", np.uint8), 5)
+        seqs.append(bytes(s))
+    for _ in range(80):
+        start = int(rng.integers(0, 3900))
+        ln = int(rng.integers(40, 100))
+        seqs.append(bytes(genome[start:start + ln]))
+    db = SeqDB.from_sequences(seqs)
+    pref = kmermatcher(db, 22, 200, 0.2, True)
+    aln = rescorediagonal(db, pref, seq_id_thr=0.9)
+    ora = correction(db, aln, damage_model, 0.99, 0.9)
+    old = CP.NB_BUCKET
+    CP.NB_BUCKET = 4
+    calls = []
+    real = CP._run_correction_level
+    CP._run_correction_level = lambda pl, *a, **k: calls.append(
+        pl["sym"].shape[1]) or real(pl, *a, **k)
+    try:
+        dev = CP.correction_pallas(db, aln, damage_model, 0.99, 0.9)
+    finally:
+        CP.NB_BUCKET = old
+        CP._run_correction_level = real
+    assert any(w > 512 for w in calls), calls  # level 2 actually ran
+    diffs = [i for i in range(len(db))
+             if bytes(ora.seq_bytes(i)) != bytes(dev.seq_bytes(i))]
+    assert diffs == []
