@@ -20,7 +20,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SOURCES = ["kmer_select.cpp", "host_kernels.cpp", "prepass.cpp",
-            "kmer_pairs.cpp", "banded.cpp"]
+            "kmer_pairs.cpp", "banded.cpp", "linclust_kernels.cpp"]
 _LOCK = threading.Lock()
 _LIB = None
 _BUILD_FAILED = False
@@ -128,6 +128,14 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             _i64p]
         lib.banded_align_one.restype = None
+        lib.linclust_wrapped_rescore.argtypes = [
+            _u8p, _i64p, _i64p, _i32p, _i32p, _u16p, _u8p,
+            ctypes.c_int64, _i32p]
+        lib.linclust_wrapped_rescore.restype = None
+        lib.linclust_align_best.argtypes = [
+            _u8p, _i64p, _i64p, _i32p, _i32p, _u16p, _u8p,
+            ctypes.c_int64, _i32p]
+        lib.linclust_align_best.restype = None
         _LIB = lib
         return _LIB
 
@@ -450,3 +458,39 @@ def banded_align_one(q, t, band: int, match: int, mismatch: int,
         band, match, mismatch, gapo, gape, out.ctypes.data_as(_i64p))
     return (int(out[0]), int(out[1]), int(out[2]), int(out[3]),
             int(out[4]))
+
+
+def linclust_wrapped_rescore(data, offsets, lengths, qid, tid, diag_u,
+                             is_rev) -> np.ndarray | None:
+    """Best wrapped-hamming diagonal per prefilter pair; returns an
+    (n, 3) int32 array [best_score, best_diag, valid] or None if no
+    native lib.  Oracle: stages/linclust.py hamming_wrapped_rescore."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(qid)
+    out = np.zeros((n, 3), dtype=np.int32)
+    lib.linclust_wrapped_rescore(
+        _as(data, np.uint8, _u8p), _as(offsets, np.int64, _i64p),
+        _as(lengths, np.int64, _i64p), _as(qid, np.int32, _i32p),
+        _as(tid, np.int32, _i32p), _as(diag_u, np.uint16, _u16p),
+        _as(is_rev, np.uint8, _u8p), n, out.ctypes.data_as(_i32p))
+    return out
+
+
+def linclust_align_best(data, offsets, lengths, qid, tid, diag_u,
+                        is_rev) -> np.ndarray | None:
+    """Best end-to-end candidate diagonal per pair for the align stage;
+    returns an (n, 5) int32 array [score, cand, n, ids, valid] or None.
+    Oracle: stages/linclust.py align_filter's inner candidate loop."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(qid)
+    out = np.zeros((n, 5), dtype=np.int32)
+    lib.linclust_align_best(
+        _as(data, np.uint8, _u8p), _as(offsets, np.int64, _i64p),
+        _as(lengths, np.int64, _i64p), _as(qid, np.int32, _i32p),
+        _as(tid, np.int32, _i32p), _as(diag_u, np.uint16, _u16p),
+        _as(is_rev, np.uint8, _u8p), n, out.ctypes.data_as(_i32p))
+    return out

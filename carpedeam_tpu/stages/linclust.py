@@ -8,13 +8,17 @@ src/workflow/GuidedNuclassembler.cpp:33-40,175-180):
   2. rescorediagonal      (HAMMING + wrapped scoring, seqId 0.97, cov 0.99)
   3. clust                (greedy incremental, length-ranked ids)
   4. createsubdb/filterdb (representatives only)
-  5. align                (gapped nucleotide alignment; implemented here as
-                           the ungapped end-to-end scorer with exact seqId —
-                           candidates at seqId>=0.97 / cov>=0.99 are
-                           near-identical overlaps where the banded gapped
-                           alignment reduces to the diagonal; the reference
-                           uses BandedNucleotideAligner/ksw2)
+  5. align                (gapped nucleotide alignment: ungapped end-to-end
+                           scoring on the candidate diagonals first, then a
+                           banded affine-gap rescue [ops/banded_align.py,
+                           the BandedNucleotideAligner/ksw2 role] for pairs
+                           that fail ungapped but could still reach the
+                           coverage threshold within the band)
   6. clust + mergeclusters
+
+The per-record loops (_hamming_wrapped_rescore_py / _align_filter_py)
+are retained as oracles; production runs the native OpenMP batch kernels
+(native/linclust_kernels.cpp) with vectorised thresholding.
 
 Returns {representative_key: [member keys]} (cluster records in the
 reference's format: rep first, members ascending).
@@ -45,11 +49,69 @@ def length_rank_ids(seqdb: SeqDB) -> np.ndarray:
     return rank
 
 
+def _cov_ok(qcov, tcov, cov_thr, cov_mode):
+    if cov_mode == 1:
+        return tcov >= cov_thr
+    if cov_mode == 2:
+        return qcov >= cov_thr
+    return (qcov >= cov_thr) & (tcov >= cov_thr)
+
+
+def _group_starts(pref: PrefDB, keep: np.ndarray) -> np.ndarray:
+    """Per-query output starts after filtering records with `keep`."""
+    cum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+    return cum[pref.starts]
+
+
 def hamming_wrapped_rescore(seqdb: SeqDB, pref: PrefDB, seq_id_thr: float,
                             cov_thr: float, cov_mode: int) -> PrefDB:
     """rescorediagonal with RESCORE_MODE_HAMMING + --wrapped-scoring:
     score = 100*seqId (sign = strand), diagonal from the best wrapped
-    placement (rescorediagonal.cpp:162-167,215-225,243-246,319-331)."""
+    placement (rescorediagonal.cpp:162-167,215-225,243-246,319-331).
+
+    Production path: one native OpenMP pass over all prefilter records
+    (native/linclust_kernels.cpp) + vectorised thresholding; the
+    per-record loop below (_hamming_wrapped_rescore_py) is the oracle."""
+    from .. import native
+    if len(pref.qkey) == 0:
+        return pref
+    qid_r = seqdb.lookup_keys(pref.qkey)
+    tid_r = seqdb.lookup_keys(pref.tkey)
+    is_rev = pref.score < 0
+    diag_u = (pref.diag & 0xFFFF).astype(np.uint16)
+    res = native.linclust_wrapped_rescore(
+        seqdb.data, seqdb.offsets, seqdb.lengths, qid_r, tid_r, diag_u,
+        is_rev)
+    if res is None:
+        return _hamming_wrapped_rescore_py(seqdb, pref, seq_id_thr,
+                                           cov_thr, cov_mode)
+    best_score, best_diag, valid = res[:, 0], res[:, 1], res[:, 2]
+    L = seqdb.lengths[qid_r]
+    tlen = seqdb.lengths[tid_r]
+    dlen = np.minimum(tlen, L)
+    seq_id = best_score.astype(np.float32) / dlen.astype(np.float32)
+    qcov = dlen.astype(np.float32) / L.astype(np.float32)
+    tcov = dlen.astype(np.float32) / tlen.astype(np.float32)
+    has_seqid = seq_id >= (np.float32(seq_id_thr) - _EPS)
+    keep = (valid == 1) & ((qid_r == tid_r)
+                           | (_cov_ok(qcov, tcov, np.float32(cov_thr),
+                                      cov_mode) & has_seqid))
+    score100 = (100.0 * seq_id.astype(np.float64)).astype(np.int64)
+    score_out = np.where(is_rev, -score100, score100).astype(np.int32)
+    diag_out = best_diag.astype(np.int16).astype(np.int32)
+    return PrefDB(
+        qkey=pref.qkey[keep].astype(np.uint32),
+        tkey=pref.tkey[keep].astype(np.uint32),
+        score=score_out[keep],
+        diag=diag_out[keep],
+        starts=_group_starts(pref, keep),
+        qkeys=np.asarray(pref.qkeys, dtype=np.uint32))
+
+
+def _hamming_wrapped_rescore_py(seqdb: SeqDB, pref: PrefDB,
+                                seq_id_thr: float, cov_thr: float,
+                                cov_mode: int) -> PrefDB:
+    """Pure-Python oracle for hamming_wrapped_rescore."""
     key2id = seqdb.key_to_id()
     rows = {"qkey": [], "tkey": [], "score": [], "diag": []}
     starts = [0]
@@ -129,43 +191,138 @@ def greedy_incremental_cluster(seqdb: SeqDB, pref: PrefDB) -> dict[int, list[int
     """ClusteringAlgorithms::greedyIncrementalLowMem: every member is
     assigned the minimum length-rank id among itself and all queries that
     list it; referenced reps are forced to be their own rep
-    (ClusteringAlgorithms.cpp:271-332)."""
+    (ClusteringAlgorithms.cpp:271-332).
+
+    Vectorised: the sequential `if q_rank < assigned[m_rank]` edge sweep
+    is exactly an unbuffered minimum-scatter (np.minimum.at), and the
+    rep-correction pass reduces to self-assigning every value that
+    appears in `assigned` (any rep referenced by a member becomes its
+    own rep; order effects of the sequential loop cancel)."""
     rank = length_rank_ids(seqdb)
-    key2id = seqdb.key_to_id()
     n = len(seqdb)
     assigned = np.arange(n, dtype=np.int64)  # by rank id: self-assignment
-    # edges: query rank -> member rank
-    for qi in range(len(pref.qkeys)):
-        q_rank = rank[key2id[int(pref.qkeys[qi])]]
-        sl = pref.records_for(qi)
-        for r in range(sl.start, sl.stop):
-            m_rank = rank[key2id[int(pref.tkey[r])]]
-            if q_rank < assigned[m_rank]:
-                assigned[m_rank] = q_rank
-    # correction pass
-    for i in range(n):
-        a = assigned[i]
-        if assigned[a] != a:
-            assigned[a] = a
+    if len(pref.qkey):
+        q_ranks_per_query = rank[seqdb.lookup_keys(pref.qkeys)]
+        q_ranks = np.repeat(q_ranks_per_query, np.diff(pref.starts))
+        m_ranks = rank[seqdb.lookup_keys(pref.tkey)]
+        np.minimum.at(assigned, m_ranks, q_ranks)
+    reps = np.unique(assigned)
+    assigned[reps] = reps
     # build clusters keyed by rep KEY, members ascending by key
-    rank_to_key = {}
-    for i in range(n):
-        rank_to_key[int(rank[i])] = int(seqdb.keys[i])
-    clusters: dict[int, list[int]] = {}
-    for i in range(n):
-        rep_key = rank_to_key[int(assigned[i])]
-        clusters.setdefault(rep_key, []).append(rank_to_key[i])
-    # record order: rep key first, remaining members ascending
     # (assignment pairs sorted by (repKey, memberKey); Clustering::writeData)
-    return {k: [k] + sorted(m for m in v if m != k)
-            for k, v in clusters.items()}
+    order = np.empty(n, dtype=np.int64)
+    order[rank] = np.arange(n)                    # rank -> original row
+    key_of_rank = seqdb.keys[order].astype(np.int64)
+    rep_key_arr = key_of_rank[assigned]
+    sort2 = np.lexsort((key_of_rank, rep_key_arr))
+    rep_sorted = rep_key_arr[sort2]
+    mem_sorted = key_of_rank[sort2]
+    uniq, group_start = np.unique(rep_sorted, return_index=True)
+    bounds = np.append(group_start, n)
+    clusters: dict[int, list[int]] = {}
+    for gi, rep_key in enumerate(uniq.tolist()):
+        mem = mem_sorted[bounds[gi]:bounds[gi + 1]].tolist()
+        clusters[rep_key] = [rep_key] + [m for m in mem if m != rep_key]
+    return clusters
+
+
+#: half-width of the banded gapped rescue (ops/banded_align.py default)
+_RESCUE_BAND = 64
 
 
 def align_filter(seqdb: SeqDB, pref: PrefDB, seq_id_thr: float,
                  cov_thr: float, cov_mode: int, eval_thr: float) -> PrefDB:
     """The `align` stage reduced to its filtering role: re-align each pair
     on its diagonal end-to-end, keep pairs passing seqId/cov/evalue.
-    Returns a PrefDB with the surviving pairs (cluster edges)."""
+    Returns a PrefDB with the surviving pairs (cluster edges).
+
+    Production path: native batch best-diagonal scoring + vectorised
+    thresholds; the banded gapped rescue (ksw2 role) runs only for pairs
+    that fail ungapped AND could still reach the coverage threshold
+    within the ±64 band — spurious prefilter pairs whose overlap window
+    is too small to ever cover the target are rejected without paying
+    the DP.  Oracle: _align_filter_py below."""
+    from .. import native
+    if len(pref.qkey) == 0:
+        return pref
+    qid_r = seqdb.lookup_keys(pref.qkey)
+    tid_r = seqdb.lookup_keys(pref.tkey)
+    is_rev = pref.score < 0
+    diag_u = (pref.diag & 0xFFFF).astype(np.uint16)
+    res = native.linclust_align_best(
+        seqdb.data, seqdb.offsets, seqdb.lengths, qid_r, tid_r, diag_u,
+        is_rev)
+    if res is None:
+        return _align_filter_py(seqdb, pref, seq_id_thr, cov_thr,
+                                cov_mode, eval_thr)
+    score, cand, n_w, ids, valid = (res[:, i] for i in range(5))
+    L = seqdb.lengths[qid_r]
+    tlen = seqdb.lengths[tid_r]
+    db_res = seqdb.total_residues
+    thr32 = np.float32(seq_id_thr) - _EPS
+    cov32 = np.float32(cov_thr)
+
+    def passes(sid, n_q, n_t, sc):
+        qcov = n_q.astype(np.float32) / L.astype(np.float32)
+        tcov = n_t.astype(np.float32) / tlen.astype(np.float32)
+        e = ev.evalue(sc.astype(np.float64), L.astype(np.float64), db_res)
+        return _cov_ok(qcov, tcov, cov32, cov_mode) & (sid >= thr32) \
+            & (e <= eval_thr)
+
+    nf = np.maximum(n_w, 1)
+    sid_u = ids.astype(np.float32) / nf.astype(np.float32)
+    accept = (valid == 1) & (score > 0) & passes(sid_u, n_w, n_w, score)
+    score_out = score.astype(np.int64)
+
+    # gapped rescue, gated by band-reachability of the coverage threshold
+    fail = (valid == 1) & ~accept
+    dist = np.abs(cand.astype(np.int64))
+    q_sub_len = np.where(cand >= 0, L - dist, L)
+    t_sub_len = np.where(cand >= 0, tlen, tlen - dist)
+    max_nt = np.minimum(t_sub_len, q_sub_len + _RESCUE_BAND)
+    max_nq = np.minimum(q_sub_len, t_sub_len + _RESCUE_BAND)
+    gate = _cov_ok(max_nq.astype(np.float32) / L.astype(np.float32),
+                   max_nt.astype(np.float32) / tlen.astype(np.float32),
+                   cov32, cov_mode)
+    for r in np.nonzero(fail & gate)[0]:
+        from ..ops.banded_align import banded_align
+        qbytes = np.asarray(seqdb.seq_bytes(qid_r[r]), dtype=np.uint8)
+        qb = _CHAR_REVCOMP_X[qbytes][::-1] if is_rev[r] else qbytes
+        tbytes = np.asarray(seqdb.seq_bytes(tid_r[r]), dtype=np.uint8)
+        d = int(dist[r])
+        if cand[r] >= 0:
+            q_sub, t_sub = qb[d:], tbytes
+        else:
+            q_sub, t_sub = qb, tbytes[d:]
+        s2, qe2, te2, id2, alen2 = banded_align(
+            CHAR_TO_CODE[q_sub], CHAR_TO_CODE[t_sub])
+        if s2 > 0 and alen2 > 0:
+            sid2 = np.float32(id2) / np.float32(alen2)
+            qcov2 = np.float32(qe2 + 1) / np.float32(L[r])
+            tcov2 = np.float32(te2 + 1) / np.float32(tlen[r])
+            e2 = float(ev.evalue(float(s2), float(L[r]), db_res))
+            if bool(_cov_ok(qcov2, tcov2, cov32, cov_mode)) \
+                    and sid2 >= thr32 and e2 <= eval_thr:
+                accept[r] = True
+                score_out[r] = s2
+    keep = accept | (valid == 2)
+    score_final = np.where(valid == 2, (2 * L).astype(np.int64),
+                           score_out).astype(np.int32)
+    diag_final = np.where(valid == 2, 0,
+                          cand.astype(np.int16).astype(np.int32))
+    return PrefDB(
+        qkey=pref.qkey[keep].astype(np.uint32),
+        tkey=pref.tkey[keep].astype(np.uint32),
+        score=score_final[keep],
+        diag=diag_final[keep].astype(np.int32),
+        starts=_group_starts(pref, keep),
+        qkeys=np.asarray(pref.qkeys, dtype=np.uint32))
+
+
+def _align_filter_py(seqdb: SeqDB, pref: PrefDB, seq_id_thr: float,
+                     cov_thr: float, cov_mode: int,
+                     eval_thr: float) -> PrefDB:
+    """Pure-Python oracle for align_filter (ungated rescue)."""
     key2id = seqdb.key_to_id()
     db_res = seqdb.total_residues
     rows = {"qkey": [], "tkey": [], "score": [], "diag": []}
@@ -278,25 +435,18 @@ def linclust(seqdb: SeqDB, clust_seq_id_thr: float = 0.97,
     key2id = seqdb.key_to_id()
     rep_db = seqdb.select(np.array([key2id[k] for k in rep_keys],
                                    dtype=np.int64))
-    rep_set = set(rep_keys)
-    # pref filtered to rep queries and rep targets
-    mask_rows = []
-    starts = [0]
-    qkeys = []
-    for qi in range(len(pref.qkeys)):
-        qk = int(pref.qkeys[qi])
-        if qk not in rep_set:
-            continue
-        sl = pref.records_for(qi)
-        sel = [r for r in range(sl.start, sl.stop)
-               if int(pref.tkey[r]) in rep_set]
-        mask_rows.extend(sel)
-        starts.append(starts[-1] + len(sel))
-        qkeys.append(qk)
-    sel = np.array(mask_rows, dtype=np.int64)
-    pref2 = PrefDB(pref.qkey[sel], pref.tkey[sel], pref.score[sel],
-                   pref.diag[sel], np.array(starts, dtype=np.int64),
-                   np.array(qkeys, dtype=np.uint32))
+    # pref filtered to rep queries and rep targets (vectorised)
+    rep_arr = np.array(rep_keys, dtype=np.int64)
+    q_is_rep = np.isin(pref.qkeys.astype(np.int64), rep_arr)
+    rec_q_is_rep = np.repeat(q_is_rep, np.diff(pref.starts))
+    keep = rec_q_is_rep & np.isin(pref.tkey.astype(np.int64), rep_arr)
+    cum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+    counts = cum[pref.starts[1:]] - cum[pref.starts[:-1]]
+    pref2 = PrefDB(pref.qkey[keep], pref.tkey[keep], pref.score[keep],
+                   pref.diag[keep],
+                   np.concatenate([[0], np.cumsum(counts[q_is_rep])])
+                   .astype(np.int64),
+                   pref.qkeys[q_is_rep].astype(np.uint32))
 
     aln = align_filter(rep_db, pref2, clust_seq_id_thr, clust_cov_thr,
                        cov_mode, 0.001)
