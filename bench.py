@@ -72,7 +72,7 @@ def main():
     from carpedeam_tpu.params import Params
     from carpedeam_tpu.pipeline import _pick_stage_impls
     from carpedeam_tpu.stages.read_assembly import read_assembly
-    from carpedeam_tpu.ops.rescore_tpu import pack_sequences
+    from carpedeam_tpu.ops.rescore_tpu import device_planes
     from carpedeam_tpu.utils import bucket_len
 
     n_reads = int(os.environ.get("CARPEDEAM_BENCH_READS", "120000"))
@@ -88,8 +88,7 @@ def main():
         if not wants_planes:
             return {}
         max_len = bucket_len(min(512, int(d.lengths.max())))
-        planes, lengths = pack_sequences(d, max_len=max_len)
-        planes = {k: jax.device_put(v) for k, v in planes.items()}
+        planes, lengths = device_planes(d, max_len=max_len)
         return {"planes": planes, "lengths": lengths}
 
     def step(report=None):

@@ -136,6 +136,10 @@ def get_lib():
             _u8p, _i64p, _i64p, _i32p, _i32p, _u16p, _u8p,
             ctypes.c_int64, _i32p]
         lib.linclust_align_best.restype = None
+        lib.pack_planes.argtypes = [
+            _u8p, _i64p, _i64p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, _u8p, _u8p, _u8p, _u8p]
+        lib.pack_planes.restype = None
         _LIB = lib
         return _LIB
 
@@ -493,4 +497,21 @@ def linclust_align_best(data, offsets, lengths, qid, tid, diag_u,
         _as(lengths, np.int64, _i64p), _as(qid, np.int32, _i32p),
         _as(tid, np.int32, _i32p), _as(diag_u, np.uint16, _u16p),
         _as(is_rev, np.uint8, _u8p), n, out.ctypes.data_as(_i32p))
+    return out
+
+
+def pack_planes(data, offsets, lengths, ids, max_len: int):
+    """One-pass CSR -> padded planes (sym, sym_rc, code, code_rc), each
+    (n, max_len) uint8, or None if no native lib.  Oracle:
+    ops/rescore_tpu.pack_sequences."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(ids) if ids is not None else len(offsets)
+    out = [np.zeros((n, max_len), dtype=np.uint8) for _ in range(4)]
+    lib.pack_planes(
+        _as(data, np.uint8, _u8p), _as(offsets, np.int64, _i64p),
+        _as(lengths, np.int64, _i64p),
+        _as(ids, np.int64, _i64p) if ids is not None else None,
+        n, max_len, *(o.ctypes.data_as(_u8p) for o in out))
     return out

@@ -169,3 +169,43 @@ void linclust_align_best(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// CSR -> padded device planes in one pass (the pack_sequences hot path:
+// sym/sym_rc/code/code_rc rows, zero-padded to max_len).  Python oracle:
+// ops/rescore_tpu.pack_sequences.
+void pack_planes(
+    const uint8_t *data, const int64_t *offsets, const int64_t *lengths,
+    const int64_t *ids, int64_t n, int64_t max_len,
+    uint8_t *sym, uint8_t *sym_rc, uint8_t *code, uint8_t *code_rc) {
+    const uint8_t *code_of = LT.code;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t row = ids ? ids[i] : i;
+        const int64_t off = offsets[row];
+        const int64_t L = lengths[row] < max_len ? lengths[row] : max_len;
+        uint8_t *s = sym + i * max_len, *sr = sym_rc + i * max_len;
+        uint8_t *c = code + i * max_len, *cr = code_rc + i * max_len;
+        const int64_t full = lengths[row];
+        for (int64_t x = 0; x < L; x++) {
+            const uint8_t b = data[off + x] & 0xDF;  // _UPPER
+            s[x] = b;
+            c[x] = code_of[b];
+            const uint8_t rb = LT.revcomp_x[data[off + full - 1 - x]];
+            sr[x] = rb;
+            cr[x] = code_of[rb];
+        }
+        if (L < max_len) {
+            memset(s + L, 0, max_len - L);
+            memset(sr + L, 0, max_len - L);
+            // oracle pads code via CHAR_TO_CODE[0] == 4 (X)
+            memset(c + L, 4, max_len - L);
+            memset(cr + L, 4, max_len - L);
+        }
+    }
+}
+
+}  // extern "C"

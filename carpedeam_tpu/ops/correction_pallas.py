@@ -414,7 +414,7 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
     deeper than the record tile) use the per-query host oracle."""
     from ..utils import bucket_len
     from .correction_tpu import prepare_correction_inputs
-    from .rescore_tpu import pack_sequences
+    from .rescore_tpu import device_planes
 
     n = len(seqdb)
     db_max = int(seqdb.lengths.max()) if n else 1
@@ -460,8 +460,7 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
             remap = np.full(n, -1, dtype=np.int64)
             remap[sub] = np.arange(len(sub))
             cap = bucket_len(min(lvl, int(wq[qs_lvl].max())))
-            pl_np, len_b = pack_sequences(seqdb, max_len=cap, ids=sub)
-            pl_b = {k: jax.device_put(v) for k, v in pl_np.items()}
+            pl_b, len_b = device_planes(seqdb, max_len=cap, ids=sub)
             n_lvl = len(sub)
             qid_of = sub.astype(np.int64)
             q_lvl = remap[rec["rec_q"][rows]]

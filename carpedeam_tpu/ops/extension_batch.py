@@ -276,8 +276,26 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
             if 0.0 < likelihood_thr < 1.0 else 0.0
         sub = np.nonzero(queue_pre & (logit < thr_logit + 1.0))[0]
         if len(sub):
-            h = _consensus_likelihood_host(seqdb, qid, tid, qs, qe, ts,
-                                           te, alen, logm, sub, max_len)
+            # f64 recompute: native per-record pass when available (the
+            # same C++ that backs the host fast path below), NumPy dense
+            # windows otherwise — identical columns either way
+            from .. import native
+            nat = native.read_prepass(
+                data, offsets, seqdb.lengths, qid[sub].astype(np.int32),
+                tid[sub].astype(np.int32), qs[sub].astype(np.int32),
+                qe[sub].astype(np.int32), ts[sub].astype(np.int32),
+                te[sub].astype(np.int32), alen[sub].astype(np.int32),
+                (terminal & not_identity)[sub].astype(np.uint8),
+                seqdb.ext[tid[sub]].astype(np.uint8), float(seq_id_thr),
+                logm)
+            if nat is not None:
+                h = {"valid": nat["cons_valid"],
+                     "lik_mod": nat["lik_mod"],
+                     "aln_count": nat["aln_count"]}
+            else:
+                h = _consensus_likelihood_host(seqdb, qid, tid, qs, qe,
+                                               ts, te, alen, logm, sub,
+                                               max_len)
             lm = np.where(h["valid"], h["lik_mod"], 0.0)
             ac = np.where(h["valid"], h["aln_count"], 0)
             ma = max_aln_all[sub]

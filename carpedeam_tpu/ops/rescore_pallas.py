@@ -235,7 +235,7 @@ def rescorediagonal_pallas(seqdb, pref, seq_id_thr, eval_thr=0.001,
                                           _score_pairs_numpy,
                                           assemble_alndb)
     from ..utils import bucket_len, bucket_pairs
-    from .rescore_tpu import pack_sequences
+    from .rescore_tpu import device_planes
 
     n = len(pref.qkey)
     qidx_all = seqdb.lookup_keys(pref.qkey).astype(np.int32)
@@ -266,11 +266,9 @@ def rescorediagonal_pallas(seqdb, pref, seq_id_thr, eval_thr=0.001,
                                             tidx_all[rows]]))
             remap = np.full(len(seqdb), -1, dtype=np.int32)
             remap[sub] = np.arange(len(sub), dtype=np.int32)
-            pl_np, len_b = pack_sequences(
+            pl_b, len_b = device_planes(
                 seqdb, max_len=bucket_len(min(lvl, int(pair_max[rows]
                                                        .max()))), ids=sub)
-            import jax
-            pl_b = {k: jax.device_put(v) for k, v in pl_np.items()}
             q_b, t_b = remap[qidx_all[rows]], remap[tidx_all[rows]]
         m = len(rows)
         mp = bucket_pairs(m)

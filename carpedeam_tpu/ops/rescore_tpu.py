@@ -53,23 +53,65 @@ def pack_sequences(seqdb, max_len=None, ids=None):
         offsets = seqdb.offsets[ids].astype(np.int64)
     if max_len is None:
         max_len = int(lengths.max()) if n else 1
-    sym = np.zeros((n, max_len), dtype=np.uint8)
-    sym_rc = np.zeros((n, max_len), dtype=np.uint8)
+    native_planes = None
     if n:
-        # vectorised CSR -> padded: rows/cols of every real base at once
+        from .. import native
+        native_planes = native.pack_planes(
+            seqdb.data, seqdb.offsets.astype(np.int64),
+            seqdb.lengths.astype(np.int64),
+            np.asarray(ids, dtype=np.int64) if ids is not None else None,
+            max_len)
+    if native_planes is not None:
+        # one-pass C++ pack (native/linclust_kernels.cpp::pack_planes);
+        # the NumPy path below is the oracle (tests pin equality)
+        sym, sym_rc, code, code_rc = native_planes
+    elif n:
+        # vectorised CSR -> padded: one clipped gather + masked select per
+        # plane (an np.nonzero + scatter formulation costs ~4x more — the
+        # pack is on the per-iteration hot path, see bench.py)
         pos = np.arange(max_len, dtype=np.int64)
         mask = pos[None, :] < lengths[:, None]
-        rows, cols = np.nonzero(mask)
-        flat = offsets[rows] + cols
-        sym[rows, cols] = _UPPER[seqdb.data[flat]]
+        last = max(len(seqdb.data) - 1, 0)
+        flat = np.minimum(offsets[:, None] + pos[None, :], last)
+        sym = np.where(mask, _UPPER[seqdb.data[flat]], np.uint8(0))
         # reverse complement, row-reversed: position x reads base L-1-x
-        flat_rc = offsets[rows] + (lengths[rows] - 1 - cols)
-        sym_rc[rows, cols] = _UPPER[_CHAR_REVCOMP_X[seqdb.data[flat_rc]]]
-    code = CHAR_TO_CODE[sym]
-    code_rc = CHAR_TO_CODE[sym_rc]
+        flat_rc = np.clip(offsets[:, None] + (lengths[:, None] - 1
+                                              - pos[None, :]), 0, last)
+        sym_rc = np.where(mask,
+                          _UPPER[_CHAR_REVCOMP_X[seqdb.data[flat_rc]]],
+                          np.uint8(0))
+        code = CHAR_TO_CODE[sym]
+        code_rc = CHAR_TO_CODE[sym_rc]
+    else:
+        sym = np.zeros((n, max_len), dtype=np.uint8)
+        sym_rc = np.zeros((n, max_len), dtype=np.uint8)
+        code = CHAR_TO_CODE[sym]
+        code_rc = CHAR_TO_CODE[sym_rc]
     planes = {"code": np.concatenate([code, code_rc]),
               "sym": np.concatenate([sym, sym_rc])}
     return planes, lengths.astype(np.int32)
+
+
+@jax.jit
+def _derive_code(sym2):
+    """CHAR_TO_CODE as an elementwise where-chain (uppercased symbols ->
+    5-letter codes), so only the symbol planes cross the host->device
+    link; everything else (including the X=4 padding) derives on device.
+    Bit-identical to CHAR_TO_CODE[sym] for uppercased input."""
+    code = jnp.full(sym2.shape, 4, dtype=jnp.uint8)
+    for chars, val in (("A", 0), ("CMYH", 1), ("TUW", 2), ("GKBDVRS", 3)):
+        for ch in chars:
+            code = jnp.where(sym2 == ord(ch), jnp.uint8(val), code)
+    return code
+
+
+def device_planes(seqdb, max_len=None, ids=None):
+    """pack_sequences + upload, transfer-minimised: only the (2N, L)
+    symbol planes are uploaded; the code planes derive on device.
+    Returns ({"code", "sym"} device arrays, lengths) like callers expect."""
+    planes, lengths = pack_sequences(seqdb, max_len=max_len, ids=ids)
+    sym2 = jax.device_put(planes["sym"])
+    return {"code": _derive_code(sym2), "sym": sym2}, lengths
 
 
 @partial(jax.jit, static_argnames=("max_len",))

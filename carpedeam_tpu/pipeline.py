@@ -157,14 +157,13 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
             return {}
         import jax
 
-        from .ops.rescore_tpu import pack_sequences
+        from .ops.rescore_tpu import device_planes
         from .utils import bucket_len
         # plane width is capped at 512: the short-read bulk stays device-
         # resident in every phase; stages route records touching longer
         # sequences to wider per-bucket planes or the host oracles
         max_len = bucket_len(min(512, int(db.lengths.max())))
-        planes, lengths = pack_sequences(db, max_len=max_len)
-        planes = {k: jax.device_put(v) for k, v in planes.items()}
+        planes, lengths = device_planes(db, max_len=max_len)
         return {"planes": planes, "lengths": lengths}
     from .utils import StageTimer
     timer = StageTimer(log if params.verbosity >= 4 else None)

@@ -135,29 +135,46 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
     out_seqs: list[bytes] = []
     out_ext: list[bool] = []
 
+    # per-query candidate row lists (skip-fast plumbing): queries whose
+    # alignment group holds no surviving candidate pass through without
+    # touching the per-query machinery below — at scale the bulk of
+    # queries at every iteration (the reference pays the same fast path
+    # via its early `candidates.empty()` exits)
+    if pre is not None:
+        cand_rows = np.nonzero(pre["cand"])[0]
+        cand_ptr = np.searchsorted(cand_rows, aln.starts)
+        tkey_a = np.ascontiguousarray(aln.cols["tkey"])
+        qs_a = np.ascontiguousarray(aln.cols["qstart"])
+        qe_a = np.ascontiguousarray(aln.cols["qend"])
+        ts_a = np.ascontiguousarray(aln.cols["dbstart"])
+        te_a = np.ascontiguousarray(aln.cols["dbend"])
+        tl_a = np.ascontiguousarray(aln.cols["dblen"])
+    ext_flags = seqdb.ext
+    data_flat = seqdb.data
+    offsets_all = seqdb.offsets
+    lengths_all = seqdb.lengths
+
     for i in range(len(seqdb)):
         qkey = int(seqdb.keys[i])
-        qseq = np.array(seqdb.seq_bytes(i), dtype=np.uint8)
-        L = int(seqdb.lengths[i])
-
         qi = aln_by_key.get(qkey)
-        sl = aln.records_for(qi) if qi is not None else slice(0, 0)
 
         if pre is not None:
             # ---- batched fast path: candidates + scores precomputed ----
+            if qi is None or cand_ptr[qi] == cand_ptr[qi + 1]:
+                o = offsets_all[i]
+                out_seqs.append(data_flat[o:o + lengths_all[i]].tobytes())
+                out_ext.append(bool(ext_flags[i]))
+                continue
+            L = int(lengths_all[i])
+            qseq = np.array(seqdb.seq_bytes(i), dtype=np.uint8)
             cands = []
             queue = CppPriorityQueue(lambda a_, b_: a_.s_len_norm
                                      < b_.s_len_norm)
             tgt_bytes = {}
-            for r in range(sl.start, sl.stop):
-                if not pre["cand"][r]:
-                    continue
-                c = _Cand(int(aln.cols["tkey"][r]),
-                          int(aln.cols["qstart"][r]),
-                          int(aln.cols["qend"][r]), L,
-                          int(aln.cols["dbstart"][r]),
-                          int(aln.cols["dbend"][r]),
-                          int(aln.cols["dblen"][r]), int(aln_len_all[r]))
+            for r in cand_rows[cand_ptr[qi]:cand_ptr[qi + 1]]:
+                c = _Cand(int(tkey_a[r]), int(qs_a[r]), int(qe_a[r]), L,
+                          int(ts_a[r]), int(te_a[r]), int(tl_a[r]),
+                          int(aln_len_all[r]))
                 c.seq_id = float(pre["seq_id"][r])
                 c.ry_seq_id = float(pre["ry_seq_id"][r])
                 cands.append(c)
@@ -167,10 +184,6 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
                     c.s_len_norm = float(pre["s_len_norm"][r])
                     c.s_ratio = float(pre["s_ratio"][r])
                     queue.push(c)
-            if not cands:
-                out_seqs.append(qseq.tobytes())
-                out_ext.append(bool(seqdb.ext[i]))
-                continue
             query = qseq.copy()
             qlen_cur = L
             max_left = int(pre["max_left"][i])
@@ -180,6 +193,9 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
                                          query, qlen_cur, False,
                                          min_cov_safe)
         else:
+            qseq = np.array(seqdb.seq_bytes(i), dtype=np.uint8)
+            L = int(lengths_all[i])
+            sl = aln.records_for(qi) if qi is not None else slice(0, 0)
             # ---- pass A-C: forward terminal overlaps -> candidates ------
             cands = []
             for r in range(sl.start, sl.stop):

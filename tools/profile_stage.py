@@ -27,7 +27,7 @@ def main():
     from carpedeam_tpu.io import SeqDB
     from carpedeam_tpu.params import Params
     from carpedeam_tpu.pipeline import _pick_stage_impls
-    from carpedeam_tpu.ops.rescore_tpu import pack_sequences
+    from carpedeam_tpu.ops.rescore_tpu import device_planes
     from carpedeam_tpu.utils import bucket_len
 
     n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 120000
@@ -51,8 +51,7 @@ def main():
         if wants_planes:
             def mk():
                 max_len = bucket_len(min(512, int(db.lengths.max())))
-                planes, lengths = pack_sequences(db, max_len=max_len)
-                planes = {k: jax.device_put(v) for k, v in planes.items()}
+                planes, lengths = device_planes(db, max_len=max_len)
                 jax.block_until_ready(list(planes.values()))
                 return {"planes": planes, "lengths": lengths}
             shared = t("pack+upload planes", mk)
@@ -67,8 +66,7 @@ def main():
         if wants_planes:
             def mk2():
                 max_len = bucket_len(min(512, int(corr.lengths.max())))
-                planes, lengths = pack_sequences(corr, max_len=max_len)
-                planes = {k: jax.device_put(v) for k, v in planes.items()}
+                planes, lengths = device_planes(corr, max_len=max_len)
                 jax.block_until_ready(list(planes.values()))
                 return {"planes": planes, "lengths": lengths}
             shared2 = t("pack+upload planes (corr)", mk2)
