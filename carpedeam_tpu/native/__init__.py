@@ -114,6 +114,10 @@ def get_lib():
             ctypes.c_uint64, ctypes.c_int64, _f32, _i64p,
             _u64p, _i32p, _u16p, _i64p]
         lib.kmer_extract.restype = None
+        lib.kmer_compact.argtypes = [
+            _u64p, _i32p, _u16p, _i64p, _i64p, _i64p, ctypes.c_int64,
+            _i64p, _u64p, _i64p, _i32p, _i32p, _u16p]
+        lib.kmer_compact.restype = None
         lib.sort_kmer_entries.argtypes = [_u64p, _i64p, _i32p, _i32p,
                                           ctypes.c_int64, _i64p]
         lib.sort_kmer_entries.restype = None
@@ -383,19 +387,28 @@ def kmer_extract(data, offsets, lengths, k: int, seed: int,
         out_offsets.ctypes.data_as(_i64p),
         kmer_o.ctypes.data_as(_u64p), pos_o.ctypes.data_as(_i32p),
         h16_o.ctypes.data_as(_u16p), count_o.ctypes.data_as(_i64p))
-    # compact the per-sequence regions
-    keep = np.zeros(total_cap, dtype=bool)
-    starts = out_offsets[:-1]
-    pos_idx = np.arange(total_cap, dtype=np.int64) \
-        - np.repeat(starts, cap)
-    keep = pos_idx < np.repeat(count_o, cap)
-    ids = np.repeat(np.arange(n_seqs, dtype=np.int64), cap)[keep]
+    # compact the per-sequence regions (native parallel memcpy)
+    dst_offsets = np.concatenate([[0], np.cumsum(count_o)]).astype(np.int64)
+    n_total = int(dst_offsets[-1])
+    kmer_c = np.empty(n_total, dtype=np.uint64)
+    id_c = np.empty(n_total, dtype=np.int64)
+    pos_c = np.empty(n_total, dtype=np.int32)
+    len_c = np.empty(n_total, dtype=np.int32)
+    h16_c = np.empty(n_total, dtype=np.uint16)
+    lib.kmer_compact(
+        kmer_o.ctypes.data_as(_u64p), pos_o.ctypes.data_as(_i32p),
+        h16_o.ctypes.data_as(_u16p), out_offsets.ctypes.data_as(_i64p),
+        count_o.ctypes.data_as(_i64p), lengths.ctypes.data_as(_i64p),
+        n_seqs, dst_offsets.ctypes.data_as(_i64p),
+        kmer_c.ctypes.data_as(_u64p), id_c.ctypes.data_as(_i64p),
+        pos_c.ctypes.data_as(_i32p), len_c.ctypes.data_as(_i32p),
+        h16_c.ctypes.data_as(_u16p))
     return {
-        "kmer": kmer_o[keep],
-        "id": ids,
-        "pos": pos_o[keep],
-        "seq_len": lengths[ids].astype(np.int32),
-        "h16": h16_o[keep],
+        "kmer": kmer_c,
+        "id": id_c,
+        "pos": pos_c,
+        "seq_len": len_c,
+        "h16": h16_c,
     }
 
 

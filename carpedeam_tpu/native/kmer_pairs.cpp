@@ -20,51 +20,53 @@
 
 namespace {
 
-struct Entry {
-    uint64_t key;    // kmer | bit63
-    uint64_t tie;    // (~len)<<40 | id
-    uint64_t kmer;   // raw kmer field (strand bit intact)
-    int32_t pos;
-    int32_t seq_len;
-    int64_t id;
-    bool operator<(const Entry &o) const {
-        if (key != o.key) return key < o.key;
-        if (tie != o.tie) return tie < o.tie;
-        return pos < o.pos;
-    }
+// Stable LSD radix sort of (key, payload) by 16-bit digits, skipping
+// passes whose digit is constant across the array (e.g. the always-set
+// bit-63 digit of canonical k-mer fields).  Stability is what lets the
+// scan below reproduce np.lexsort's (key, tie, pos) total order with a
+// key-only sort + tiny per-group tie sorts: equal keys keep emission
+// order.  ~3 effective passes for 44-bit k-mer keys vs a comparison
+// sort's ~22 on multi-word structs — the entry sort drops from the
+// stage's dominant cost to noise.
+struct RadixScratch {
+    std::vector<uint64_t> kbuf;
+    std::vector<uint32_t> pbuf;
 };
 
-struct Pair {
-    uint64_t k1;     // centre<<32 | member
-    uint32_t k2;     // diag ^ 0x80000000 (signed order)
-    int64_t centre;
-    int64_t member;
-    int32_t diag;
-    uint8_t fwd;
-    bool operator<(const Pair &o) const {
-        if (k1 != o.k1) return k1 < o.k1;
-        return k2 < o.k2;
-    }
-};
-
-template <typename T>
-void parallel_sort2(std::vector<T> &v) {
-#ifdef _OPENMP
-    const int64_t n = (int64_t)v.size();
-    if (n > (1 << 16)) {
-        const int64_t half = n / 2;
-#pragma omp parallel sections
-        {
-#pragma omp section
-            std::sort(v.begin(), v.begin() + half);
-#pragma omp section
-            std::sort(v.begin() + half, v.end());
+void radix_sort_u64_u32(std::vector<uint64_t> &keys,
+                        std::vector<uint32_t> &payload,
+                        RadixScratch &scratch, int passes = 4) {
+    const int64_t n = (int64_t)keys.size();
+    if (n < 2) return;
+    scratch.kbuf.resize(n);
+    scratch.pbuf.resize(n);
+    uint64_t *k_src = keys.data(), *k_dst = scratch.kbuf.data();
+    uint32_t *p_src = payload.data(), *p_dst = scratch.pbuf.data();
+    for (int pass = 0; pass < passes; pass++) {
+        const int shift = pass * 16;
+        int64_t hist[65536];
+        std::memset(hist, 0, sizeof(hist));
+        for (int64_t i = 0; i < n; i++)
+            hist[(k_src[i] >> shift) & 0xFFFF]++;
+        if (hist[(k_src[0] >> shift) & 0xFFFF] == n) continue;  // constant
+        int64_t run = 0;
+        for (int d = 0; d < 65536; d++) {
+            const int64_t c = hist[d];
+            hist[d] = run;
+            run += c;
         }
-        std::inplace_merge(v.begin(), v.begin() + half, v.end());
-        return;
+        for (int64_t i = 0; i < n; i++) {
+            const int64_t j = hist[(k_src[i] >> shift) & 0xFFFF]++;
+            k_dst[j] = k_src[i];
+            p_dst[j] = p_src[i];
+        }
+        std::swap(k_src, k_dst);
+        std::swap(p_src, p_dst);
     }
-#endif
-    std::sort(v.begin(), v.end());
+    if (k_src != keys.data()) {
+        std::memcpy(keys.data(), k_src, n * sizeof(uint64_t));
+        std::memcpy(payload.data(), p_src, n * sizeof(uint32_t));
+    }
 }
 
 inline bool can_cover(int cov_mode, float cov_thr, float ql, float tl) {
@@ -104,84 +106,159 @@ int64_t kmermatcher_scan(
     int64_t *group_row_start, int64_t *group_centre, int64_t *n_groups_o)
 {
     // ---- global sort (kmermatcher.cpp:409-415) -------------------------
-    std::vector<Entry> ent(n);
+    // Key-only stable radix; the (tie, pos) order the reference realises
+    // with a full multi-word comparison sort only matters WITHIN an
+    // equal-key group (rep selection + emission order), so it is applied
+    // there with tiny per-group sorts instead.  The resulting total order
+    // is exactly np.lexsort((pos, tie, key)) -- the Python oracle's.
+    std::vector<uint64_t> ekey(n);
+    std::vector<uint32_t> eidx(n);
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; i++) {
-        ent[i].key = kmer[i] | (1ull << 63);
-        ent[i].tie = ((uint64_t)(0xFFFFFF - (uint32_t)seq_len[i]) << 40) |
-                     (uint64_t)id[i];
-        ent[i].kmer = kmer[i];
-        ent[i].pos = pos[i];
-        ent[i].seq_len = seq_len[i];
-        ent[i].id = id[i];
+        ekey[i] = kmer[i] | (1ull << 63);
+        eidx[i] = (uint32_t)i;
     }
-    parallel_sort2(ent);
+    {
+        RadixScratch scratch;
+        radix_sort_u64_u32(ekey, eidx, scratch);
+    }
 
     // ---- assignGroup (kmermatcher.cpp:453-562) -------------------------
-    // centre = first entry of each equal-key group; singleton groups drop;
-    // every kept entry (incl. the rep's own) becomes a pair row.
-    std::vector<Pair> pairs;
-    pairs.reserve((size_t)n);
-    int64_t g0 = 0;
-    while (g0 < n) {
-        int64_t g1 = g0 + 1;
-        while (g1 < n && ent[g1].key == ent[g0].key) g1++;
-        if (g1 - g0 > 1) {
-            const Entry &rep = ent[g0];
-            const bool rep_is_rev = (rep.kmer >> 63) == 0;
-            for (int64_t i = g0; i < g1; i++) {
-                const Entry &e = ent[i];
-                const bool tgt_is_rev = (e.kmer >> 63) == 0;
-                const int64_t rep_len = rep.seq_len, t_len = e.seq_len;
-                const int64_t q_pos =
-                    tgt_is_rev ? rep_len - 1 - rep.pos : rep.pos;
-                const int64_t t_pos_adj =
-                    tgt_is_rev ? t_len - 1 - e.pos : e.pos;
-                const int64_t diagonal = q_pos - t_pos_adj;
-                bool keep;
-                if (include_only_extendable) {
-                    keep = (diagonal < 0) || (diagonal > rep_len - t_len);
-                } else {
-                    keep = can_cover((int)cov_mode, cov_thr,
-                                     (float)rep_len, (float)t_len);
-                }
-                if (!keep) continue;
-                Pair p;
-                p.centre = rep.id;
-                p.member = e.id;
-                p.diag = (int32_t)diagonal;
-                p.fwd = (uint8_t)(!(rep_is_rev ^ tgt_is_rev));
-                p.k1 = ((uint64_t)(uint32_t)p.centre << 32) |
-                       (uint64_t)(uint32_t)p.member;
-                p.k2 = (uint32_t)p.diag ^ 0x80000000u;
-                pairs.push_back(p);
-            }
-        }
-        g0 = g1;
+    // centre = (tie, pos)-first entry of each equal-key group; singleton
+    // groups drop; every kept entry (incl. the rep's own) becomes a pair
+    // row.  Group walk parallelised by splitting the sorted range at
+    // group boundaries; per-thread emission vectors concatenate in order.
+    auto tie_of = [&](int64_t i) -> uint64_t {
+        return ((uint64_t)(0xFFFFFF - (uint32_t)seq_len[i]) << 40) |
+               (uint64_t)id[i];
+    };
+    int n_chunks = 1;
+#ifdef _OPENMP
+    n_chunks = omp_get_max_threads();
+    if (n_chunks > 8) n_chunks = 8;
+    if (n < (1 << 16)) n_chunks = 1;
+#endif
+    std::vector<int64_t> chunk_lo(n_chunks + 1, n);
+    chunk_lo[0] = 0;
+    for (int t = 1; t < n_chunks; t++) {
+        int64_t b = n * t / n_chunks;
+        while (b < n && b > 0 && ekey[b] == ekey[b - 1]) b++;
+        chunk_lo[t] = b;
     }
-    ent.clear();
-    ent.shrink_to_fit();
+    struct Emit {
+        std::vector<uint64_t> k1;
+        std::vector<uint32_t> k2;
+        std::vector<uint8_t> fwd;
+    };
+    std::vector<Emit> emits(n_chunks);
+#pragma omp parallel for schedule(static, 1)
+    for (int t = 0; t < n_chunks; t++) {
+        Emit &em = emits[t];
+        em.k1.reserve((size_t)(chunk_lo[t + 1] - chunk_lo[t]));
+        std::vector<std::pair<uint64_t, int64_t>> grp;  // (tie, orig row)
+        int64_t g0 = chunk_lo[t];
+        while (g0 < chunk_lo[t + 1]) {
+            int64_t g1 = g0 + 1;
+            while (g1 < n && ekey[g1] == ekey[g0]) g1++;
+            if (g1 - g0 > 1) {
+                grp.clear();
+                for (int64_t i = g0; i < g1; i++)
+                    grp.emplace_back(tie_of(eidx[i]), (int64_t)eidx[i]);
+                std::sort(grp.begin(), grp.end(),
+                          [&](const std::pair<uint64_t, int64_t> &a,
+                              const std::pair<uint64_t, int64_t> &b) {
+                              if (a.first != b.first) return a.first < b.first;
+                              return pos[a.second] < pos[b.second];
+                          });
+                const int64_t rep = grp[0].second;
+                const bool rep_is_rev = (kmer[rep] >> 63) == 0;
+                const int64_t rep_len = seq_len[rep];
+                for (size_t gi = 0; gi < grp.size(); gi++) {
+                    const int64_t e = grp[gi].second;
+                    const bool tgt_is_rev = (kmer[e] >> 63) == 0;
+                    const int64_t t_len = seq_len[e];
+                    const int64_t q_pos =
+                        tgt_is_rev ? rep_len - 1 - pos[rep] : pos[rep];
+                    const int64_t t_pos_adj =
+                        tgt_is_rev ? t_len - 1 - pos[e] : pos[e];
+                    const int64_t diagonal = q_pos - t_pos_adj;
+                    bool keep;
+                    if (include_only_extendable) {
+                        keep = (diagonal < 0) || (diagonal > rep_len - t_len);
+                    } else {
+                        keep = can_cover((int)cov_mode, cov_thr,
+                                         (float)rep_len, (float)t_len);
+                    }
+                    if (!keep) continue;
+                    em.k1.push_back(((uint64_t)(uint32_t)id[rep] << 32) |
+                                    (uint64_t)(uint32_t)id[e]);
+                    em.k2.push_back((uint32_t)(int32_t)diagonal ^
+                                    0x80000000u);
+                    em.fwd.push_back((uint8_t)(!(rep_is_rev ^ tgt_is_rev)));
+                }
+            }
+            g0 = g1;
+        }
+    }
+    ekey.clear(); ekey.shrink_to_fit();
+    eidx.clear(); eidx.shrink_to_fit();
+    int64_t np = 0;
+    for (int t = 0; t < n_chunks; t++) np += (int64_t)emits[t].k1.size();
+    std::vector<uint64_t> pk1(np);
+    std::vector<uint32_t> pk2(np);
+    std::vector<uint8_t> pfwd(np);
+    {
+        int64_t off = 0;
+        for (int t = 0; t < n_chunks; t++) {
+            const int64_t cn = (int64_t)emits[t].k1.size();
+            std::memcpy(pk1.data() + off, emits[t].k1.data(),
+                        cn * sizeof(uint64_t));
+            std::memcpy(pk2.data() + off, emits[t].k2.data(),
+                        cn * sizeof(uint32_t));
+            std::memcpy(pfwd.data() + off, emits[t].fwd.data(), (size_t)cn);
+            off += cn;
+            std::vector<uint64_t>().swap(emits[t].k1);
+            std::vector<uint32_t>().swap(emits[t].k2);
+            std::vector<uint8_t>().swap(emits[t].fwd);
+        }
+    }
 
     // ---- sort pairs by (centre, member, diag) --------------------------
-    parallel_sort2(pairs);
+    // Two stable LSD radixes compose: diag (k2) first, then centre|member
+    // (k1) -- equal k1 keeps k2 order; equal (k1,k2) keeps emission order.
+    std::vector<uint32_t> pidx(np);
+    {
+        std::vector<uint64_t> skey(np);
+        RadixScratch scratch;
+        for (int64_t i = 0; i < np; i++) {
+            skey[i] = pk2[i];
+            pidx[i] = (uint32_t)i;
+        }
+        radix_sort_u64_u32(skey, pidx, scratch, 2);
+        for (int64_t i = 0; i < np; i++) skey[i] = pk1[pidx[i]];
+        radix_sort_u64_u32(skey, pidx, scratch, 4);
+    }
 
     // ---- writeKmerMatcherResult scan ------------------------------------
-    const int64_t np = (int64_t)pairs.size();
     std::vector<int64_t> c(np), m(np);
     std::vector<uint8_t> f(np);
     std::vector<int32_t> d(np);
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < np; i++) {
-        c[i] = pairs[i].centre;
-        m[i] = pairs[i].member;
-        d[i] = pairs[i].diag;
-        f[i] = pairs[i].fwd;
+        const uint64_t k1 = pk1[pidx[i]];
+        c[i] = (int64_t)(k1 >> 32);
+        m[i] = (int64_t)(k1 & 0xFFFFFFFFull);
+        d[i] = (int32_t)(pk2[pidx[i]] ^ 0x80000000u);
+        f[i] = pfwd[pidx[i]];
     }
-    pairs.clear();
-    pairs.shrink_to_fit();
+    std::vector<uint64_t>().swap(pk1);
+    std::vector<uint32_t>().swap(pk2);
+    std::vector<uint8_t>().swap(pfwd);
+    std::vector<uint32_t>().swap(pidx);
     return build_pref_scan(c.data(), f.data(), m.data(), d.data(), np,
                            keys, qkey_o, tkey_o, score_o, diag_o,
                            group_row_start, group_centre, n_groups_o);
 }
+
 
 }  // extern "C"

@@ -559,8 +559,10 @@ void kmer_extract(
                           kmers_per_sequence_scale * (float)L);
             if (considered > n) considered = n;
 
-            // histogram threshold (65536 bins via the 128-bin hierarchy)
-            memset(score_dist.data(), 0, 65536 * sizeof(int32_t));
+            // histogram threshold (65536 bins via the 128-bin hierarchy).
+            // score_dist is NOT memset here: 256KB per sequence would cost
+            // more than the rest of the stage; instead the touched bins
+            // (one per entry) are re-zeroed after the walk below.
             memset(hier.data(), 0, 128 * sizeof(int32_t));
             for (int64_t i = 0; i < n; i++) {
                 score_dist[ent[i].h16]++;
@@ -601,6 +603,7 @@ void kmer_extract(
                     n_out++;
                 }
             }
+            for (int64_t i = 0; i < n; i++) score_dist[ent[i].h16] = 0;
             count_o[s] = n_out;
         }
     }
@@ -658,3 +661,33 @@ void sort_kmer_entries(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Compact the per-sequence capacity regions kmer_extract wrote into exact
+// entry arrays (+ id / seq_len columns) — parallel per-sequence memcpy,
+// replacing an np.repeat/boolean-mask pass that allocated several
+// windows-sized temporaries per call.
+// ---------------------------------------------------------------------------
+extern "C" void kmer_compact(
+    const uint64_t *kmer_o, const int32_t *pos_o, const uint16_t *h16_o,
+    const int64_t *out_offsets, const int64_t *count_o,
+    const int64_t *lengths, int64_t n_seqs, const int64_t *dst_offsets,
+    uint64_t *kmer_c, int64_t *id_c, int32_t *pos_c, int32_t *len_c,
+    uint16_t *h16_c)
+{
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t s = 0; s < n_seqs; s++) {
+        const int64_t cnt = count_o[s];
+        const int64_t src = out_offsets[s], dst = dst_offsets[s];
+        memcpy(kmer_c + dst, kmer_o + src, (size_t)cnt * sizeof(uint64_t));
+        memcpy(pos_c + dst, pos_o + src, (size_t)cnt * sizeof(int32_t));
+        memcpy(h16_c + dst, h16_o + src, (size_t)cnt * sizeof(uint16_t));
+        const int32_t L = (int32_t)lengths[s];
+        for (int64_t i = 0; i < cnt; i++) {
+            id_c[dst + i] = s;
+            len_c[dst + i] = L;
+        }
+    }
+}
