@@ -34,7 +34,7 @@ _CHAR_REVCOMP_X = _DECODE_X[COMPLEMENT_CODE[CHAR_TO_CODE]]
 _UPPER = (np.arange(256) & ~0x20).astype(np.uint8)
 
 
-def pack_sequences(seqdb, max_len=None, ids=None):
+def pack_sequences(seqdb, max_len=None, ids=None, fwd_only=False):
     """Host-side: SeqDB -> dict of stacked device planes + lengths.
 
     Returns (planes, lengths) where planes = {"code": (2N, L) uint8,
@@ -42,7 +42,10 @@ def pack_sequences(seqdb, max_len=None, ids=None):
     row-reversed reverse complements.  `ids` restricts packing to a row
     subset (for per-length-bucket planes); rows longer than max_len are
     truncated (callers must route such rows to a wider bucket).
-    """
+
+    `fwd_only=True` returns just {"sym": (N, L)} — the forward symbol
+    plane — for callers that derive the RC rows and code planes on
+    device (device_planes)."""
     if ids is None:
         n = len(seqdb)
         lengths = seqdb.lengths.astype(np.int64)
@@ -65,6 +68,8 @@ def pack_sequences(seqdb, max_len=None, ids=None):
         # one-pass C++ pack (native/linclust_kernels.cpp::pack_planes);
         # the NumPy path below is the oracle (tests pin equality)
         sym, sym_rc, code, code_rc = native_planes
+        if fwd_only:
+            return {"sym": sym}, lengths.astype(np.int32)
     elif n:
         # vectorised CSR -> padded: one clipped gather + masked select per
         # plane (an np.nonzero + scatter formulation costs ~4x more — the
@@ -74,6 +79,8 @@ def pack_sequences(seqdb, max_len=None, ids=None):
         last = max(len(seqdb.data) - 1, 0)
         flat = np.minimum(offsets[:, None] + pos[None, :], last)
         sym = np.where(mask, _UPPER[seqdb.data[flat]], np.uint8(0))
+        if fwd_only:
+            return {"sym": sym}, lengths.astype(np.int32)
         # reverse complement, row-reversed: position x reads base L-1-x
         flat_rc = np.clip(offsets[:, None] + (lengths[:, None] - 1
                                               - pos[None, :]), 0, last)
@@ -84,6 +91,8 @@ def pack_sequences(seqdb, max_len=None, ids=None):
         code_rc = CHAR_TO_CODE[sym_rc]
     else:
         sym = np.zeros((n, max_len), dtype=np.uint8)
+        if fwd_only:
+            return {"sym": sym}, lengths.astype(np.int32)
         sym_rc = np.zeros((n, max_len), dtype=np.uint8)
         code = CHAR_TO_CODE[sym]
         code_rc = CHAR_TO_CODE[sym_rc]
@@ -105,13 +114,56 @@ def _derive_code(sym2):
     return code
 
 
+def _roll_rows_left(x, shift, width: int):
+    """Barrel shifter: rotate row i of x left by shift[i] (log2(width)
+    static rotations gated per-row by the shift's bits)."""
+    n_bits = max(1, (width - 1).bit_length())
+    for b in range(n_bits):
+        step = 1 << b
+        take = ((shift >> b) & 1).astype(bool)[:, None]
+        rolled = jnp.concatenate([x[:, step:], x[:, :step]], axis=1)
+        x = jnp.where(take, rolled, x)
+    return x
+
+
+@jax.jit
+def _derive_rc_plane(sym, lengths):
+    """Reverse-complement symbol plane from the forward plane, on device:
+    complement each (uppercased, 5-letter-folded to "ACTGX") symbol, flip
+    the row, then rotate the tail padding out (left-roll by max_len - L).
+    Bit-identical to the host pack's _UPPER[_CHAR_REVCOMP_X[...]] rows —
+    only the (N, L) forward plane ever crosses the host->device tunnel;
+    the RC half of the (2N, L) plane is ~free HBM work."""
+    comp = jnp.full(sym.shape, ord("X"), dtype=jnp.uint8)
+    for chars, out in (("A", "T"), ("CMYH", "G"), ("TUW", "A"),
+                       ("GKBDVRS", "C")):
+        for ch in chars:
+            comp = jnp.where(sym == ord(ch), jnp.uint8(ord(out)), comp)
+    max_len = sym.shape[1]
+    flipped = comp[:, ::-1]
+    shift = (jnp.int32(max_len) - lengths.astype(jnp.int32))
+    rolled = _roll_rows_left(flipped, shift, max_len)
+    pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+    return jnp.where(pos < lengths.astype(jnp.int32)[:, None], rolled,
+                     jnp.uint8(0))
+
+
+@jax.jit
+def _assemble_planes(sym_fwd, lengths):
+    sym2 = jnp.concatenate([sym_fwd, _derive_rc_plane(sym_fwd, lengths)])
+    return {"code": _derive_code(sym2), "sym": sym2}
+
+
 def device_planes(seqdb, max_len=None, ids=None):
-    """pack_sequences + upload, transfer-minimised: only the (2N, L)
-    symbol planes are uploaded; the code planes derive on device.
-    Returns ({"code", "sym"} device arrays, lengths) like callers expect."""
-    planes, lengths = pack_sequences(seqdb, max_len=max_len, ids=ids)
-    sym2 = jax.device_put(planes["sym"])
-    return {"code": _derive_code(sym2), "sym": sym2}, lengths
+    """pack_sequences + upload, transfer-minimised: only the (N, L)
+    FORWARD symbol plane is uploaded; the reverse-complement rows and the
+    code planes derive on device (the tunnel H2D link is the cost here,
+    not HBM bandwidth).  Returns ({"code", "sym"} device arrays, lengths)
+    like callers expect."""
+    planes, lengths = pack_sequences(seqdb, max_len=max_len, ids=ids,
+                                     fwd_only=True)
+    sym_fwd = jax.device_put(planes["sym"])
+    return _assemble_planes(sym_fwd, jnp.asarray(lengths)), lengths
 
 
 @partial(jax.jit, static_argnames=("max_len",))
