@@ -12,11 +12,13 @@ Prints ONE JSON line:
 
 Baseline: the reference C++ binary's 4-stage iteration-0 chain on the
 SAME workload, measured standalone with tools/measure_baseline.py on
-this machine (2-core x86-64, SSE4.1+AVX2, reference built -O3 Release):
+this machine (2-core x86-64, SSE4.1+AVX2, reference built -O3 Release;
+re-pinned 2026-08-20 — this round's box runs the reference ~1.5x faster
+than round 2's, so the old constants undersold the baseline):
 
-  kmermatcher 1.567s + rescorediagonal 0.265s + ancient_correction
-  1.316s + ancient_read_assemble 0.367s = 3.516s for 6,044,347 residues
-  -> 1,719,149 residues/s  (min of 3 reps per stage; includes each
+  kmermatcher 0.966s + rescorediagonal 0.204s + ancient_correction
+  0.836s + ancient_read_assemble 0.299s = 2.305s for 6,044,347 residues
+  -> 2,622,750 residues/s  (min of 3 reps per stage; includes each
   stage's process+IO exactly as the reference workflow pays it)
 
 Timing notes:
@@ -43,10 +45,10 @@ sys.path.insert(0, _HERE)
 CPU_BASELINE = {  # tools/measure_baseline.py work/synth_120k.fq.gz
     "reads": 120000,
     "residues": 6044347,
-    "stage_s": {"kmermatcher": 1.567, "rescorediagonal": 0.265,
-                "correction": 1.316, "read_assemble": 0.367},
-    "total_s": 3.516,
-    "residues_per_s": 1719149.0,
+    "stage_s": {"kmermatcher": 0.966, "rescorediagonal": 0.204,
+                "correction": 0.836, "read_assemble": 0.299},
+    "total_s": 2.305,
+    "residues_per_s": 2622750.0,
 }
 
 

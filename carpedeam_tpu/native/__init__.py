@@ -118,6 +118,10 @@ def get_lib():
             _u64p, _i32p, _u16p, _i64p, _i64p, _i64p, ctypes.c_int64,
             _i64p, _u64p, _i64p, _i32p, _i32p, _u16p]
         lib.kmer_compact.restype = None
+        lib.corr_unpack_scatter.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            _u8p, _i32p, _i64p, _i64p, _i64p, _u8p]
+        lib.corr_unpack_scatter.restype = None
         lib.sort_kmer_entries.argtypes = [_u64p, _i64p, _i32p, _i32p,
                                           ctypes.c_int64, _i64p]
         lib.sort_kmer_entries.restype = None
@@ -511,6 +515,30 @@ def linclust_align_best(data, offsets, lengths, qid, tid, diag_u,
         _as(tid, np.int32, _i32p), _as(diag_u, np.uint16, _u16p),
         _as(is_rev, np.uint8, _u8p), n, out.ctypes.data_as(_i32p))
     return out
+
+
+def corr_unpack_scatter(packed, nb: int, g: int, max_len: int,
+                        slot_valid, slot_qid, qid_of, lens_global,
+                        offsets, out_flat) -> bool:
+    """Un-nibble the correction kernel's packed output and scatter the
+    corrected bases into out_flat IN PLACE; returns False if no native
+    lib (caller falls back to the NumPy path)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    lib.corr_unpack_scatter(
+        _as(packed, np.uint8, _u8p), nb, g, max_len,
+        _as(np.ascontiguousarray(slot_valid, dtype=np.uint8), np.uint8,
+            _u8p),
+        _as(np.ascontiguousarray(slot_qid, dtype=np.int32), np.int32,
+            _i32p),
+        _as(np.ascontiguousarray(qid_of, dtype=np.int64), np.int64, _i64p),
+        _as(np.ascontiguousarray(lens_global, dtype=np.int64), np.int64,
+            _i64p),
+        _as(np.ascontiguousarray(offsets, dtype=np.int64), np.int64,
+            _i64p),
+        out_flat.ctypes.data_as(_u8p))
+    return True
 
 
 def pack_planes(data, offsets, lengths, ids, max_len: int):

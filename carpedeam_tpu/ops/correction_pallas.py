@@ -387,6 +387,12 @@ def _run_correction_level(planes, lens, rec, rows, q_lvl, t_row_lvl,
         interpret=jax.default_backend() == "cpu",
         g=G, rec_tile=REC_TILE))
 
+    from .. import native
+    if native.corr_unpack_scatter(packed, nb, G, max_len,
+                                  blocks["slot_valid"],
+                                  blocks["slot_qid"], qid_of,
+                                  lens_global, offsets, out_flat):
+        return qid_of[blocks["heavy_qids"]]
     acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
     # un-nibble: block row b*G/2+g holds slots g (low) and g+G/2 (high)
     half = packed.reshape(nb, G // 2, max_len)

@@ -125,10 +125,20 @@ _PURE[np.frombuffer(b"ACGT", dtype=np.uint8)] = False
 
 def has_non_acgt_flags(seqdb) -> np.ndarray:
     """Per-sequence flag: contains any character outside uppercase ACGT
-    (those records must take the host path for exact char semantics)."""
+    (those records must take the host path for exact char semantics).
+    Memoised on the SeqDB instance — stages treat SeqDB as immutable and
+    several call this per iteration on the same DB."""
+    cached = getattr(seqdb, "_non_acgt_flags", None)
+    if cached is not None:
+        return cached
     data = seqdb.data
     bad = _PURE[data]
-    cum = np.concatenate([[0], np.cumsum(bad)])
+    cum = np.concatenate([[0], np.cumsum(bad, dtype=np.int64)])
     off = seqdb.offsets.astype(np.int64)
     ln = seqdb.lengths.astype(np.int64)
-    return (cum[off + ln] - cum[off]) > 0
+    flags = (cum[off + ln] - cum[off]) > 0
+    try:
+        seqdb._non_acgt_flags = flags
+    except AttributeError:
+        pass
+    return flags

@@ -154,17 +154,33 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
     offsets_all = seqdb.offsets
     lengths_all = seqdb.lengths
 
-    for i in range(len(seqdb)):
+    # batched mode iterates ONLY queries whose alignment group holds a
+    # surviving candidate (the reference's early `candidates.empty()`
+    # exits, paid once vectorised instead of 120k times in Python);
+    # untouched records are spliced back with whole-range memcpys below.
+    replaced: dict[int, bytes] = {}
+    if pre is not None:
+        n_aln = len(aln.qkeys)
+        amap = np.full((int(aln.qkeys.max()) + 1 if n_aln else 1),
+                       -1, dtype=np.int64)
+        if n_aln:
+            amap[aln.qkeys.astype(np.int64)] = np.arange(n_aln)
+        keys64 = seqdb.keys.astype(np.int64)
+        qi_arr = np.where(keys64 < len(amap),
+                          amap[np.minimum(keys64, len(amap) - 1)], -1)
+        ncand = np.zeros(len(seqdb), dtype=np.int64)
+        v = qi_arr >= 0
+        ncand[v] = cand_ptr[qi_arr[v] + 1] - cand_ptr[qi_arr[v]]
+        iter_ids = np.nonzero(ncand > 0)[0]
+    else:
+        iter_ids = range(len(seqdb))
+
+    for i in iter_ids:
         qkey = int(seqdb.keys[i])
-        qi = aln_by_key.get(qkey)
+        qi = int(qi_arr[i]) if pre is not None else aln_by_key.get(qkey)
 
         if pre is not None:
             # ---- batched fast path: candidates + scores precomputed ----
-            if qi is None or cand_ptr[qi] == cand_ptr[qi + 1]:
-                o = offsets_all[i]
-                out_seqs.append(data_flat[o:o + lengths_all[i]].tobytes())
-                out_ext.append(bool(ext_flags[i]))
-                continue
             L = int(lengths_all[i])
             qseq = np.array(seqdb.seq_bytes(i), dtype=np.uint8)
             cands = []
@@ -382,6 +398,10 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
                     if c.s_ratio > likelihood_thr:
                         queue.push(c)
 
+        if pre is not None:
+            if could_extend:
+                replaced[i] = query.tobytes()
+            continue
         if could_extend:
             out_seqs.append(query.tobytes())
             out_ext.append(True)
@@ -389,6 +409,31 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
             out_seqs.append(qseq.tobytes())
             out_ext.append(bool(seqdb.ext[i]))
 
-    return SeqDB.from_sequences(out_seqs, keys=seqdb.keys.copy(),
-                                ext=np.array(out_ext, dtype=bool),
-                                headers=seqdb.headers)
+    if pre is None:
+        return SeqDB.from_sequences(out_seqs, keys=seqdb.keys.copy(),
+                                    ext=np.array(out_ext, dtype=bool),
+                                    headers=seqdb.headers)
+
+    # ---- splice replaced records into a fresh CSR store -----------------
+    n = len(seqdb)
+    total_in = int(offsets_all[-1] + lengths_all[-1]) if n else 0
+    new_lengths = lengths_all.astype(np.int64).copy()
+    new_ext = ext_flags.copy()
+    parts: list[np.ndarray] = []
+    prev = 0  # flat offset of the first byte not yet emitted
+    for i in sorted(replaced):
+        o = int(offsets_all[i])
+        if o > prev:
+            parts.append(data_flat[prev:o])
+        rec = np.frombuffer(replaced[i], dtype=np.uint8)
+        parts.append(rec)
+        new_lengths[i] = len(rec)
+        new_ext[i] = True
+        prev = o + int(lengths_all[i])
+    if total_in > prev:
+        parts.append(data_flat[prev:total_in])
+    new_data = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    new_offsets = np.concatenate([[0], np.cumsum(new_lengths[:-1])]) \
+        .astype(np.int64) if n else np.zeros(0, np.int64)
+    return SeqDB(new_data, new_offsets, new_lengths, seqdb.keys.copy(),
+                 new_ext, seqdb.headers, seqdb.dbtype)
