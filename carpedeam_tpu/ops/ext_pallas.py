@@ -16,9 +16,12 @@ Per alignment record (query row, target row, affine window scalars):
     is pure iota math (min(i,5) from the 5' end, 6+i-(tlen-5) from the
     3' end — exact for N-free targets; records touching non-ACGT
     sequences are recomputed on the host like window_pallas), and the
-    (layer, qbase, tbase) -> log p lookup is a static 176-way select
-    chain with the damage-model constants BAKED into the kernel (the
-    model is fixed per assembly run, so this compiles once).
+    (layer, qbase, tbase) -> log p lookup reads a (11, 16) SMEM table
+    passed as a runtime input: the interior layer covers all columns
+    with one 16-way scalar-select chain, the five 5' columns are static
+    lane slices, and the five 3' columns (per-row dynamic positions)
+    are extracted with one barrel roll — no recompile per damage
+    profile, ~16 instead of 176 full-plane selects.
 
 Likelihood sums are f32 on device vs f64 on the host oracle; decision
 margins (sRatio > 0.5, queue ordering) are validated byte-identical
@@ -58,78 +61,95 @@ def _roll_rows_left(x, shift, width: int):
     return x
 
 
-def _make_cons_kernel(logm_flat: tuple):
-    """logm_flat: 176 static floats, index lay*16 + qb*4 + tb."""
+def _cons_kernel(wtab_ref, q_sym_ref, t_sym_ref, scal_ref, out_ref):
+    """wtab_ref: (11, 16) f32 damage table in SMEM, [lay, qb*4+tb].
 
-    def kernel(q_sym_ref, t_sym_ref, scal_ref, out_ref):
-        B, L = q_sym_ref.shape
-        q = q_sym_ref[:].astype(jnp.int32)
-        t = t_sym_ref[:].astype(jnp.int32)
-        qpos0 = scal_ref[:, 0:1]
-        qlen = scal_ref[:, 1:2]
-        tlen = scal_ref[:, 2:3]
-        ir0 = scal_ref[:, 3:4]
-        ir1 = scal_ref[:, 4:5]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    The (lay, qb, tb) -> log p lookup decomposes by layer structure
+    instead of a 176-way select sweep: the interior layer (5) covers
+    every column via one 16-way chain of SMEM scalar reads; the five 5'
+    columns are static lane slices; the five 3' columns are extracted
+    with ONE barrel roll of the fused base-pair index (their positions
+    are per-row dynamic).  All table reads use static indices, so the
+    damage model is a runtime INPUT — no recompile per profile."""
+    B, L = q_sym_ref.shape
+    q = q_sym_ref[:].astype(jnp.int32)
+    t = t_sym_ref[:].astype(jnp.int32)
+    qpos0 = scal_ref[:, 0:1]
+    qlen = scal_ref[:, 1:2]
+    tlen = scal_ref[:, 2:3]
+    ir0 = scal_ref[:, 3:4]
+    ir1 = scal_ref[:, 4:5]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
 
-        # query char at qp = qpos0 + i: rotate the query row left by qpos0
-        shift = qpos0 % L
-        q_al = _roll_rows_left(q, shift, L)
-        qp = qpos0 + pos
-        q_in = (qp >= 0) & (qp < qlen)
-        t_in = pos < tlen
-        in_rng = (pos >= ir0) & (pos < ir1)
-        t_nn = (t != ord("N")) & t_in
-        q_nn = q_al != ord("N")
-        use = t_nn & q_in & in_rng & q_nn
+    # query char at qp = qpos0 + i: rotate the query row left by qpos0
+    shift = qpos0 % L
+    q_al = _roll_rows_left(q, shift, L)
+    qp = qpos0 + pos
+    q_in = (qp >= 0) & (qp < qlen)
+    t_in = pos < tlen
+    in_rng = (pos >= ir0) & (pos < ir1)
+    t_nn = (t != ord("N")) & t_in
+    q_nn = q_al != ord("N")
+    use = t_nn & q_in & in_rng & q_nn
 
-        total = jnp.sum(use.astype(jnp.int32), axis=1, keepdims=True)
-        idc = jnp.sum(((q_al == t) & use).astype(jnp.int32), axis=1,
-                      keepdims=True)
-        ry_q = (q_al == ord("C")) | (q_al == ord("T"))
-        ry_t = (t == ord("C")) | (t == ord("T"))
-        ryc = jnp.sum(((ry_q == ry_t) & use).astype(jnp.int32), axis=1,
-                      keepdims=True)
+    total = jnp.sum(use.astype(jnp.int32), axis=1, keepdims=True)
+    idc = jnp.sum(((q_al == t) & use).astype(jnp.int32), axis=1,
+                  keepdims=True)
+    ry_q = (q_al == ord("C")) | (q_al == ord("T"))
+    ry_t = (t == ord("C")) | (t == ord("T"))
+    ryc = jnp.sum(((ry_q == ry_t) & use).astype(jnp.int32), axis=1,
+                  keepdims=True)
 
-        # damage layer per column (N-free targets: rank == position)
-        lay = jnp.minimum(pos, 5)
-        from_end = pos - (tlen - 5)
-        lay = jnp.where(from_end >= 0, jnp.minimum(6 + from_end, 10), lay)
-        # base codes A0 C1 G2 T3 (CHAR_TO_ACGT; non-ACGT -> 0, masked by use)
-        def code(x):
-            c = jnp.zeros_like(x)
-            c = jnp.where(x == ord("C"), 1, c)
-            c = jnp.where(x == ord("G"), 2, c)
-            c = jnp.where(x == ord("T"), 3, c)
-            return c
-        qb = code(q_al)
-        tb = code(t)
-        idx = lay * 16 + qb * 4 + tb
-        val = jnp.zeros((B, L), jnp.float32)
-        for c in range(176):
-            fc = float(logm_flat[c])
-            if fc != 0.0:
-                val = jnp.where(idx == c, jnp.float32(fc), val)
-        lik = jnp.sum(jnp.where(use, val, 0.0), axis=1, keepdims=True)
+    # base codes A0 C1 G2 T3 (CHAR_TO_ACGT; non-ACGT -> 0, masked by use)
+    def code(x):
+        c = jnp.zeros_like(x)
+        c = jnp.where(x == ord("C"), 1, c)
+        c = jnp.where(x == ord("G"), 2, c)
+        c = jnp.where(x == ord("T"), 3, c)
+        return c
+    idx16 = code(q_al) * 4 + code(t)
 
-        out_ref[:, 0:1] = total.astype(jnp.float32)
-        out_ref[:, 1:2] = idc.astype(jnp.float32)
-        out_ref[:, 2:3] = ryc.astype(jnp.float32)
-        out_ref[:, 3:4] = lik
-    return kernel
+    def chain16(lay: int, ix):
+        v = jnp.zeros(ix.shape, jnp.float32)
+        for c in range(16):
+            v = jnp.where(ix == c, wtab_ref[lay, c], v)
+        return v
+
+    # interior layer (5) everywhere, then the 5'/3' boundary overrides
+    # (damage layer per column: rank == position for N-free targets)
+    val = chain16(5, idx16)
+    for k in range(5):              # 5' end: static columns 0..4
+        hv = chain16(k, idx16[:, k:k + 1])
+        val = jnp.where(pos == k, hv, val)
+    # 3' end: positions tlen-5+j are per-row; one roll of the fused
+    # index aligns them to static columns 0..4 (3' override wins over
+    # 5' for short targets, as in the reference's layer rule)
+    rt = jnp.remainder(tlen - 5, L)
+    idx_tail = _roll_rows_left(idx16, rt, L)
+    for j in range(5):
+        cj = tlen - 5 + j
+        tv = chain16(6 + j, idx_tail[:, j:j + 1])
+        val = jnp.where(pos == cj, tv, val)
+    lik = jnp.sum(jnp.where(use, val, 0.0), axis=1, keepdims=True)
+
+    out_ref[:, 0:1] = total.astype(jnp.float32)
+    out_ref[:, 1:2] = idc.astype(jnp.float32)
+    out_ref[:, 2:3] = ryc.astype(jnp.float32)
+    out_ref[:, 3:4] = lik
 
 
-@partial(jax.jit, static_argnames=("max_len", "logm_flat", "interpret"))
-def _cons_device(sym2, qrow, trow, scal, max_len: int, logm_flat,
+@partial(jax.jit, static_argnames=("max_len", "interpret"))
+def _cons_device(sym2, qrow, trow, scal, wtab, max_len: int,
                  interpret: bool):
     q_sym = sym2[qrow].astype(jnp.int8)
     t_sym = sym2[trow].astype(jnp.int8)
     B = _block_rows(max_len)
     n = qrow.shape[0]
     return pl.pallas_call(
-        _make_cons_kernel(logm_flat),
+        _cons_kernel,
         grid=(n // B,),
-        in_specs=[pl.BlockSpec((B, max_len), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((B, max_len), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((B, max_len), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -139,7 +159,7 @@ def _cons_device(sym2, qrow, trow, scal, max_len: int, logm_flat,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
         interpret=interpret,
-    )(q_sym, t_sym, scal)
+    )(wtab, q_sym, t_sym, scal)
 
 
 def consensus_likelihood_pallas(planes, n_seqs: int, qid, tid, qpos0,
@@ -162,12 +182,10 @@ def consensus_likelihood_pallas(planes, n_seqs: int, qid, tid, qpos0,
     scal[:n, 2] = tlen
     scal[:n, 3] = ir0
     scal[:n, 4] = ir1
-    logm_flat = tuple(np.asarray(logm, dtype=np.float32)
-                      .reshape(11, 4, 4).ravel().tolist())
+    wtab = np.asarray(logm, dtype=np.float32).reshape(11, 16)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    out = np.asarray(_cons_device(planes["sym"], qrow, trow, scal,
-                                  max_len=max_len, logm_flat=logm_flat,
-                                  interpret=interpret))
+    out = np.asarray(_cons_device(planes["sym"], qrow, trow, scal, wtab,
+                                  max_len=max_len, interpret=interpret))
     return (out[:n, 0].astype(np.int64), out[:n, 1].astype(np.int64),
             out[:n, 2].astype(np.int64), out[:n, 3].astype(np.float64))
