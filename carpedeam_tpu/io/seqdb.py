@@ -198,6 +198,35 @@ class SeqDB:
 
     # -------------------------------------------------------- mmseqs interop
     @staticmethod
+    def _read_dbtype(db_path: str) -> int:
+        """Raw .dbtype word (low 16 bits: type; bit 31: zstd-compressed
+        entries — DBReader.cpp:1018)."""
+        try:
+            with open(db_path + ".dbtype", "rb") as fh:
+                return int(np.frombuffer(fh.read(4), dtype=np.int32)[0])
+        except (OSError, IndexError):
+            return 0
+
+    @staticmethod
+    def _decompress_entry(raw: np.ndarray, off: int) -> bytes:
+        """One compressed DB entry at byte offset `off`: u32 cSize, cSize
+        payload bytes, then a flag byte — 0 marks a zstd stream, nonzero
+        a record stored verbatim because compression did not shrink it
+        (DBReader.cpp:511-538).  NOTE the index column holds the
+        UNCOMPRESSED record length; the physical entry extent is
+        4 + cSize + 1, so slicing must go by offset, not index length."""
+        c_size = int(np.frombuffer(raw[off:off + 4].tobytes(),
+                                   dtype=np.uint32)[0])
+        payload = raw[off + 4:off + 4 + c_size].tobytes()
+        flag_pos = off + 4 + c_size
+        is_compressed = flag_pos < len(raw) and raw[flag_pos] == 0
+        if not is_compressed:
+            return payload
+        import zstandard
+        return zstandard.ZstdDecompressor().decompressobj() \
+            .decompress(payload)
+
+    @staticmethod
     def _read_mmseqs_data(db_path: str) -> np.ndarray:
         """Raw data bytes of a reference DB; multi-file DBs (db.0 .. db.N,
         per-thread writers left unmerged) are concatenated in order, which
@@ -225,9 +254,14 @@ class SeqDB:
                 we = int(parts[3]) if len(parts) > 3 else 0
                 entries.append((key, off, ln, we))
         raw = SeqDB._read_mmseqs_data(db_path)
+        compressed = SeqDB._read_dbtype(db_path) < 0  # bit 31 set
         seqs, keys, ext = [], [], []
         for key, off, ln, we in entries:
-            rec = raw[off:off + ln]
+            if compressed:
+                rec = np.frombuffer(SeqDB._decompress_entry(raw, off),
+                                    dtype=np.uint8)
+            else:
+                rec = raw[off:off + ln]
             # records end with '\n\0' (sequences) or '\0' (results)
             end = len(rec)
             while end > 0 and rec[end - 1] in (0, 10):
@@ -262,8 +296,14 @@ class SeqDB:
         out = {}
         with open(db_path + ".index") as fh:
             entries = [line.split() for line in fh]
-        raw = SeqDB._read_mmseqs_data(db_path).tobytes()
+        raw = SeqDB._read_mmseqs_data(db_path)
+        compressed = SeqDB._read_dbtype(db_path) < 0
+        rawb = raw.tobytes()
         for parts in entries:
             key, off, ln = int(parts[0]), int(parts[1]), int(parts[2])
-            out[key] = raw[off:off + ln].rstrip(b"\x00").decode("ascii")
+            if compressed:
+                rec = SeqDB._decompress_entry(raw, off)
+            else:
+                rec = rawb[off:off + ln]
+            out[key] = rec.rstrip(b"\x00").decode("ascii")
         return out
