@@ -18,7 +18,8 @@ import time
 
 from .damage import DamageModel
 from .io.seqdb import SeqDB
-from .params import add_flags, apply_nuclassemble_defaults, params_from_args
+from .params import (ParamError, add_flags,
+                     apply_nuclassemble_defaults, params_from_args)
 
 
 def _load_reads(paths: list[str], db_mode: bool = False):
@@ -92,10 +93,25 @@ def main(argv=None) -> int:
                     help="comma-separated keys flagged cycle:1")
 
     args = parser.parse_args(argv)
+    try:
+        return _dispatch(args)
+    except ParamError as e:
+        # the reference names the offending flag and exits without a
+        # stack trace (Parameters.cpp parseParameters)
+        print(f"{parser.prog}: invalid parameter: {e}", file=sys.stderr)
+        return 1
+    except FileNotFoundError as e:
+        miss = e.filename or e
+        print(f"{parser.prog}: input not found: {miss}", file=sys.stderr)
+        return 1
 
+
+def _dispatch(args) -> int:
     if args.command in ("ancient_assemble", "nuclassemble"):
         *reads_files, out_fasta, tmp_dir = args.files
         params = params_from_args(args)
+        from .utils import set_verbosity
+        set_verbosity(params.verbosity)
         # structured tracing hook (the Timer/Debug::Progress analogue plus
         # device-level visibility): CARPEDEAM_PROFILE_DIR=<dir> captures a
         # JAX profiler trace of the whole workflow

@@ -13,6 +13,10 @@ import dataclasses
 from dataclasses import dataclass
 
 
+class ParamError(ValueError):
+    """A flag failed validation; message names the CLI flag spelling."""
+
+
 @dataclass
 class Params:
     # --- core assembly loop -------------------------------------------------
@@ -76,6 +80,58 @@ class Params:
     def copy(self, **overrides) -> "Params":
         return dataclasses.replace(self, **overrides)
 
+    def validate(self) -> "Params":
+        """Typed range validation of every flag (the reference validates
+        each parameter against a per-flag regex at parse time and exits
+        with the offending flag named — Parameters.cpp parseParameters /
+        MMseqsParameter::regex).  Raises ParamError naming the CLI flag."""
+        flag_of = {field: flag for flag, (field, _t) in _FLAGS.items()}
+
+        def bad(field, why):
+            raise ParamError(f"{flag_of.get(field, field)}: {why} "
+                             f"(got {getattr(self, field)!r})")
+
+        for f in ("num_iterations", "kmers_per_sequence", "threads",
+                  "min_contig_len"):
+            v = getattr(self, f)
+            if not isinstance(v, int) or v < 1:
+                bad(f, "must be a positive integer")
+        for f in ("num_iterations_reads", "min_cov_safe", "aln_len_thr",
+                  "hash_shift"):
+            v = getattr(self, f)
+            if not isinstance(v, int) or v < 0:
+                bad(f, "must be a non-negative integer")
+        for f in ("kmer_size", "kmer_size_reads", "kmer_size_contigs"):
+            v = getattr(self, f)
+            if not isinstance(v, int) or not 6 <= v <= 32:
+                bad(f, "k-mer size must be in [6, 32] (2-bit packed u64)")
+        for f in ("seq_id_thr", "merge_seq_id_thr", "ry_seq_id_thr",
+                  "corr_reads_ry_seq_id", "corr_reads_seq_id",
+                  "corr_contig_seq_id", "cov_thr", "clust_seq_id_thr",
+                  "clust_cov_thr", "likelihood_threshold",
+                  "random_align_penal", "excess_penal",
+                  "kmers_per_sequence_scale"):
+            v = getattr(self, f)
+            if not 0.0 <= float(v) <= 1.0:
+                bad(f, "must be in [0.0, 1.0]")
+        if self.eval_thr < 0:
+            bad("eval_thr", "must be >= 0")
+        if self.num_iterations_reads > self.num_iterations:
+            bad("num_iterations_reads",
+                f"cannot exceed --num-iterations ({self.num_iterations})")
+        if self.max_seq_len < 65:
+            bad("max_seq_len", "must be >= 65")
+        if self.cov_mode not in range(6):
+            bad("cov_mode", "must be in 0..5")
+        if self.clust_cov_mode not in range(6):
+            bad("clust_cov_mode", "must be in 0..5")
+        if self.verbosity not in range(4):
+            bad("verbosity", "must be 0 (silent) .. 3 (info)")
+        if self.use_device not in ("auto", "0", "1", "pallas", "mesh"):
+            bad("use_device",
+                "must be one of auto, 0, 1, pallas, mesh")
+        return self
+
 
 def apply_nuclassemble_defaults(p: Params) -> Params:
     """setNuclAssemblerWorkflowDefaults (src/workflow/Nuclassembler.cpp:10-34)."""
@@ -138,4 +194,4 @@ def params_from_args(args: argparse.Namespace) -> Params:
         v = getattr(args, field, None)
         if v is not None:
             over[field] = bool(v) if typ is bool else v
-    return p.copy(**over)
+    return p.copy(**over).validate()

@@ -182,7 +182,10 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
             keep = ~np.isin(cur.keys, cyc.keys)
             cur = cur.select(np.nonzero(keep)[0])
 
+    import time as _time
+    loop_t0 = _time.perf_counter()
     for step in range(params.num_iterations):
+        iter_t0 = _time.perf_counter()
         read_phase = step < params.num_iterations_reads
         name = f"assembly_{'reads' if read_phase else 'contigs'}_{step}"
         if ck.done(name):
@@ -291,6 +294,15 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                 cur = none_cyc
         if dist is not None:
             dist.barrier()          # other ranks restore this iteration
+        # per-iteration progress + ETA (Debug::Progress analogue; ETA
+        # scales the mean iteration cost over the remaining steps)
+        done_n = step + 1
+        elapsed = _time.perf_counter() - loop_t0
+        eta = elapsed / done_n * (params.num_iterations - done_n)
+        log(f"iteration {done_n}/{params.num_iterations} "
+            f"({'reads' if read_phase else 'contigs'}) "
+            f"{_time.perf_counter() - iter_t0:.1f}s  "
+            f"elapsed {elapsed:.1f}s  ETA {eta:.1f}s")
 
     # EPILOGUE (nuclassemble.sh:201-233)
     # RESULT = last contig assembly minus cycles, plus all accumulated cycles

@@ -91,3 +91,77 @@ class _StageScope:
     def __exit__(self, *exc):
         self.timer.add(self.name, time.perf_counter() - self.t0)
         return False
+
+
+# --------------------------------------------------------------------------
+# Verbosity-levelled logging + progress/ETA (the reference's Debug class
+# and Debug::Progress bar, lib/mmseqs/src/commons/Debug.h:20-160).
+# Levels: 0 NOTHING, 1 ERROR, 2 WARNING, 3 INFO (reference default).
+# --------------------------------------------------------------------------
+import sys as _sys
+
+NOTHING, ERROR_LVL, WARNING_LVL, INFO_LVL = 0, 1, 2, 3
+_VERBOSITY = INFO_LVL
+
+
+def set_verbosity(level: int) -> None:
+    global _VERBOSITY
+    _VERBOSITY = int(level)
+
+
+def get_verbosity() -> int:
+    return _VERBOSITY
+
+
+def log_error(msg: str) -> None:
+    if _VERBOSITY >= ERROR_LVL:
+        print(f"Error: {msg}", file=_sys.stderr, flush=True)
+
+
+def log_warning(msg: str) -> None:
+    if _VERBOSITY >= WARNING_LVL:
+        print(f"Warning: {msg}", file=_sys.stderr, flush=True)
+
+
+def log_info(msg: str) -> None:
+    if _VERBOSITY >= INFO_LVL:
+        print(msg, flush=True)
+
+
+class Progress:
+    """Debug::Progress analogue with elapsed/ETA: throttled single-line
+    updates on a tty, plain milestone lines otherwise.  Silent below
+    INFO verbosity."""
+
+    def __init__(self, total: int, label: str = "", min_interval=0.5):
+        self.total = max(int(total), 1)
+        self.label = label
+        self.min_interval = min_interval
+        self.t0 = time.perf_counter()
+        self.cur = 0
+        self._last_print = 0.0
+        self._tty = _sys.stderr.isatty()
+
+    def update(self, n: int = 1) -> None:
+        self.cur += n
+        now = time.perf_counter()
+        if _VERBOSITY < INFO_LVL:
+            return
+        if now - self._last_print < self.min_interval \
+                and self.cur < self.total:
+            return
+        self._last_print = now
+        elapsed = now - self.t0
+        frac = min(self.cur / self.total, 1.0)
+        eta = elapsed * (1.0 - frac) / frac if frac > 0 else 0.0
+        line = (f"{self.label} {self.cur}/{self.total} "
+                f"({100.0 * frac:.0f}%)  elapsed {elapsed:.1f}s  "
+                f"ETA {eta:.1f}s")
+        if self._tty:
+            print(f"\r{line}\x1b[K", file=_sys.stderr, end="", flush=True)
+        else:
+            print(line, file=_sys.stderr, flush=True)
+
+    def done(self) -> None:
+        if _VERBOSITY >= INFO_LVL and self._tty:
+            print(file=_sys.stderr, flush=True)
