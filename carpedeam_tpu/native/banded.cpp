@@ -43,10 +43,12 @@ void banded_align_one(const uint8_t* q, int64_t nq,
     std::vector<int64_t> H_prev(width, NEG), F_prev(width, NEG);
     std::vector<int64_t> H_new(width), F_new(width), diag(width), hdf(width);
     H_prev[w] = 0;
+    // tb bit layout: bits 0-1 H-source (0 diag, 1 E, 2 F); bit 2 E from
+    // E (gap-extend); bit 3 F from F — see banded_align.py
     std::vector<uint8_t> tb((nq + 1) * width, 0);
     for (int64_t d = w + 1; d < width; ++d) {
         H_prev[d] = -(gapo + gape * (d - w));
-        tb[d] = 1;
+        tb[d] = (d > w + 1) ? 5 : 1;
     }
 
     int64_t best_score = NEG, best_qe = -1, best_te = -1;
@@ -59,6 +61,7 @@ void banded_align_one(const uint8_t* q, int64_t nq,
         const int64_t qi = q[i - 1];
         uint8_t* tbi = tb.data() + i * width;
         int64_t run = NEG;  // prefix max of (hdf + gape*d) over d' < d
+        int64_t e_prev = NEG, hd_prev = NEG;  // previous column's E / hdf
         for (int64_t d = 0; d < width; ++d) {
             const int64_t j_of = d - w + (i - 1);    // j-1 of diag source
             const bool valid = (j_of >= -1) && (j_of + 1 <= nt);
@@ -66,20 +69,31 @@ void banded_align_one(const uint8_t* q, int64_t nq,
             const int64_t tc = t_pad[j_of < 0 ? 0 : j_of];
             const int64_t dg = diag_ok ? H_prev[d] + lut[qi][tc] : NEG;
             int64_t fn = NEG;
-            if (d + 1 < width)
+            bool f_ext = false;
+            if (d + 1 < width) {
                 fn = std::max(H_prev[d + 1] - gapo - gape,
                               F_prev[d + 1] - gape);
-            if (!valid) fn = NEG;
+                f_ext = (F_prev[d + 1] - gape >=
+                         H_prev[d + 1] - gapo - gape) &&
+                        (F_prev[d + 1] > NEG / 2);
+            }
+            if (!valid) { fn = NEG; f_ext = false; }
             const int64_t hd = std::max(dg, fn);
             const int64_t e0 = valid ? run - gapo - gape * d : NEG;
             const int64_t en = std::max(e0, NEG);
+            const bool e_ext = (d > 0) &&
+                               (e_prev - gape >= hd_prev - gapo - gape) &&
+                               (e_prev > NEG / 2);
             if (valid) run = std::max(run, hd + gape * d);
             const int64_t hn = std::max(hd, en);
             uint8_t s = 0;
             if (en > hd) s = 1;
             else if (fn >= hn && fn > dg) s = 2;
+            if (e_ext) s |= 4;
+            if (f_ext) s |= 8;
             tbi[d] = s;
             diag[d] = dg; F_new[d] = fn; hdf[d] = hd; H_new[d] = hn;
+            e_prev = en; hd_prev = hd;
         }
         std::swap(H_prev, H_new);
         std::swap(F_prev, F_new);
@@ -109,20 +123,33 @@ void banded_align_one(const uint8_t* q, int64_t nq,
     int64_t i = best_qe + 1;
     int64_t d = (best_te + 1) - i + w;
     int64_t n_ident = 0, aln_len = 0;
+    int state = 0;  // 0 = H, 1 = E, 2 = F (gap runs honour extend bits)
     int64_t guard = 4 * (nq + nt) + 8;
     while (i > 0 && (d - w + i) > 0 && guard > 0) {
         --guard;
-        const uint8_t s = tb[i * width + d];
-        ++aln_len;
-        if (s == 0) {
-            const int64_t j = d - w + i;
-            if (j > 0 && j <= nt && q[i - 1] == t[j - 1] && q[i - 1] < 4)
-                ++n_ident;
-            --i;
-        } else if (s == 1) {
+        const uint8_t cell = tb[i * width + d];
+        if (state == 0) {
+            const uint8_t s = cell & 3;
+            if (s == 0) {
+                ++aln_len;
+                const int64_t j = d - w + i;
+                if (j > 0 && j <= nt && q[i - 1] == t[j - 1] &&
+                    q[i - 1] < 4)
+                    ++n_ident;
+                --i;
+            } else {
+                state = s;
+            }
+        } else if (state == 1) {
+            ++aln_len;
+            const bool ext = cell & 4;
             --d;
+            state = ext ? 1 : 0;
         } else {
+            ++aln_len;
+            const bool ext = cell & 8;
             --i; ++d;
+            state = ext ? 2 : 0;
         }
     }
     out[0] = best_score; out[1] = best_qe; out[2] = best_te;

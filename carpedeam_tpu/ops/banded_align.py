@@ -65,7 +65,11 @@ def banded_align(q: np.ndarray, t: np.ndarray, band: int = 64,
     t_pad = np.full(nt + width + 2, 4, dtype=np.int64)
     t_pad[:nt] = t
 
-    # H row 0: leading query gaps (j in [1, w]) as E-state from origin
+    # H row 0: leading query gaps (j in [1, w]) as E-state from origin.
+    # tb bit layout: bits 0-1 H-source (0 diag, 1 E, 2 F); bit 2 E came
+    # from E (gap-extend) vs H (gap-open); bit 3 same for F — the
+    # separate gap-state bits make the traceback realize the DP score
+    # exactly through multi-column affine runs (ksw2-equivalent).
     H_prev = np.full(width, NEG, dtype=np.int64)
     F_prev = np.full(width, NEG, dtype=np.int64)
     H_prev[w] = 0
@@ -73,6 +77,7 @@ def banded_align(q: np.ndarray, t: np.ndarray, band: int = 64,
     H_prev[lead] = -(gapo + gape * (ds[lead] - w))
     tb = np.zeros((nq + 1, width), dtype=np.uint8)
     tb[0, lead] = 1
+    tb[0, ds > w + 1] |= 4              # leading gap run extends E
 
     best_score, best_qe, best_te = NEG, -1, -1
     dend0 = nt - 1 + w + 1             # band cell where j == nt in row 0
@@ -100,6 +105,16 @@ def banded_align(q: np.ndarray, t: np.ndarray, band: int = 64,
         src = np.zeros(width, dtype=np.uint8)
         src[(E_new > hdf)] = 1
         src[(F_new >= H_new) & (src == 0) & (F_new > diag)] = 2
+        # gap-state provenance bits (same-row E recurrence:
+        # E[d] = max(E[d-1] - gape, hdf[d-1] - gapo - gape))
+        e_ext = np.zeros(width, dtype=bool)
+        e_ext[1:] = (E_new[:-1] - gape >= hdf[:-1] - gapo - gape) \
+            & (E_new[:-1] > NEG // 2)
+        src[e_ext] |= 4
+        f_ext = np.zeros(width, dtype=bool)
+        f_ext[:-1] = (F_prev[1:] - gape >= H_prev[1:] - gapo - gape) \
+            & (F_prev[1:] > NEG // 2)
+        src[f_ext] |= 8
         tb[i] = src
         H_prev, F_prev = H_new, F_new
         # alignment may end when either sequence is exhausted
@@ -121,19 +136,30 @@ def banded_align(q: np.ndarray, t: np.ndarray, band: int = 64,
     d = (best_te + 1) - i + w
     n_ident = 0
     aln_len = 0
+    state = 0                           # 0 = H, 1 = E, 2 = F
     guard = 4 * (nq + nt) + 8
     while i > 0 and (d - w + i) > 0 and guard > 0:
         guard -= 1
-        s = tb[i, d]
-        aln_len += 1
-        if s == 0:
-            j = d - w + i
-            if 0 < j <= nt and q[i - 1] == t[j - 1] and q[i - 1] < 4:
-                n_ident += 1
-            i -= 1
-        elif s == 1:
+        cell = tb[i, d]
+        if state == 0:
+            s = cell & 3
+            if s == 0:
+                aln_len += 1
+                j = d - w + i
+                if 0 < j <= nt and q[i - 1] == t[j - 1] and q[i - 1] < 4:
+                    n_ident += 1
+                i -= 1
+            else:
+                state = s
+        elif state == 1:                # E: consume one target column
+            aln_len += 1
+            ext = bool(cell & 4)
             d -= 1
-        else:
+            state = 1 if ext else 0
+        else:                           # F: consume one query row
+            aln_len += 1
+            ext = bool(cell & 8)
             i -= 1
             d += 1
+            state = 2 if ext else 0
     return best_score, best_qe, best_te, n_ident, aln_len

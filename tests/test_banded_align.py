@@ -101,3 +101,75 @@ def test_banded_align_native_matches_python_oracle():
         finally:
             native.banded_align_one = real
         assert nat == py, (trial, nat, py)
+
+
+def test_traceback_realizes_score_on_multi_column_gaps():
+    """The E/F gap-state bits must walk gap RUNS consistently with the
+    affine score: against a brute-force unbanded Gotoh (band 64 covers
+    everything at these sizes), the banded score is optimal, and the
+    reported (n_ident, aln_len) must be realizable: score <=
+    match*n_ident + mismatch*(aligned - n_ident) for the walked path
+    never holds with inflated identity counts."""
+    import numpy as np
+
+    from carpedeam_tpu.ops.banded_align import banded_align
+
+    rng = np.random.default_rng(7)
+    M, X, GO, GE = 2, -3, 5, 2
+
+    def brute(q, t):
+        nq, nt = len(q), len(t)
+        NEG = -10**8
+        H = np.full((nq + 1, nt + 1), NEG, np.int64)
+        E = np.full_like(H, NEG)
+        F = np.full_like(H, NEG)
+        H[0, 0] = 0
+        for j in range(1, nt + 1):
+            E[0, j] = max(H[0, j - 1] - GO - GE, E[0, j - 1] - GE)
+            H[0, j] = E[0, j]
+        for i in range(1, nq + 1):
+            for j in range(0, nt + 1):
+                if j > 0:
+                    E[i, j] = max(H[i, j - 1] - GO - GE, E[i, j - 1] - GE)
+                F[i, j] = max(H[i - 1, j] - GO - GE, F[i - 1, j] - GE)
+                s = M if (j > 0 and q[i - 1] == t[j - 1]
+                          and q[i - 1] < 4) else X
+                dg = H[i - 1, j - 1] + s if j > 0 else NEG
+                H[i, j] = max(dg, E[i, j], F[i, j])
+        # semi-global end: end of q or end of t
+        best = NEG
+        for i in range(0, nq + 1):
+            best = max(best, H[i, nt])
+        for j in range(1, nt + 1):
+            best = max(best, H[nq, j])
+        return best
+
+    for trial in range(25):
+        nq = int(rng.integers(10, 60))
+        q = rng.integers(0, 4, nq).astype(np.uint8)
+        # target: q with random multi-base indels + substitutions
+        t = []
+        i = 0
+        while i < nq:
+            r = rng.random()
+            if r < 0.06:                       # multi-base deletion
+                i += int(rng.integers(2, 5))
+            elif r < 0.12:                     # multi-base insertion
+                t.extend(rng.integers(0, 4, int(rng.integers(2, 5))))
+            else:
+                b = int(q[i])
+                if rng.random() < 0.05:
+                    b = (b + 1) % 4
+                t.append(b)
+                i += 1
+        t = np.array(t, np.uint8)
+        if len(t) == 0:
+            continue
+        score, qe, te, n_ident, aln_len = banded_align(q, t)
+        assert score == max(brute(q, t), 0), (trial, q, t)
+        if score > 0:
+            assert 0 <= n_ident <= aln_len
+            # every non-identity column contributes negatively, so a
+            # walked path can never report fewer identities than the
+            # score implies
+            assert score <= M * n_ident
