@@ -33,6 +33,14 @@ _u64p = ctypes.POINTER(ctypes.c_uint64)
 
 
 def _build() -> str | None:
+    # CARPEDEAM_NATIVE_SO points at an alternative prebuilt library —
+    # the AddressSanitizer test gate (tests/test_asan_native.py) builds
+    # the same TUs with -fsanitize=address and runs kernels through it
+    # in a subprocess (the reference's ASan CI build,
+    # azure-pipelines.yml sanitizer job).
+    override = os.environ.get("CARPEDEAM_NATIVE_SO")
+    if override:
+        return override if os.path.exists(override) else None
     srcs = [os.path.join(_HERE, s) for s in _SOURCES]
     out = os.path.join(_HERE, "_native.so")
     if os.path.exists(out) and all(
