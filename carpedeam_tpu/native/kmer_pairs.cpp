@@ -10,6 +10,9 @@
 // Semantics are bit-identical to kmer/matcher.py's assign_groups +
 // _build_pref_db_python (oracle-tested there against the C++ reference).
 #include <algorithm>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -42,23 +45,55 @@ void radix_sort_u64_u32(std::vector<uint64_t> &keys,
     scratch.pbuf.resize(n);
     uint64_t *k_src = keys.data(), *k_dst = scratch.kbuf.data();
     uint32_t *p_src = payload.data(), *p_dst = scratch.pbuf.data();
+    int n_chunks = 1;
+#ifdef _OPENMP
+    if (n > (1 << 18)) {
+        n_chunks = omp_get_max_threads();
+        if (n_chunks > 8) n_chunks = 8;
+    }
+#endif
+    // per-(chunk, digit) histograms; stable parallel scatter: global
+    // position = digits before mine + same-digit items in earlier chunks
+    std::vector<int64_t> hists((size_t)n_chunks * 65536);
     for (int pass = 0; pass < passes; pass++) {
         const int shift = pass * 16;
-        int64_t hist[65536];
-        std::memset(hist, 0, sizeof(hist));
-        for (int64_t i = 0; i < n; i++)
-            hist[(k_src[i] >> shift) & 0xFFFF]++;
-        if (hist[(k_src[0] >> shift) & 0xFFFF] == n) continue;  // constant
-        int64_t run = 0;
-        for (int d = 0; d < 65536; d++) {
-            const int64_t c = hist[d];
-            hist[d] = run;
-            run += c;
+        std::memset(hists.data(), 0,
+                    (size_t)n_chunks * 65536 * sizeof(int64_t));
+#pragma omp parallel for schedule(static, 1)
+        for (int t = 0; t < n_chunks; t++) {
+            int64_t *h = hists.data() + (size_t)t * 65536;
+            const int64_t lo = n * t / n_chunks,
+                          hi = n * (t + 1) / n_chunks;
+            for (int64_t i = lo; i < hi; i++)
+                h[(k_src[i] >> shift) & 0xFFFF]++;
         }
-        for (int64_t i = 0; i < n; i++) {
-            const int64_t j = hist[(k_src[i] >> shift) & 0xFFFF]++;
-            k_dst[j] = k_src[i];
-            p_dst[j] = p_src[i];
+        bool constant = false;
+        {
+            const int d0 = (int)((k_src[0] >> shift) & 0xFFFF);
+            int64_t tot = 0;
+            for (int t = 0; t < n_chunks; t++)
+                tot += hists[(size_t)t * 65536 + d0];
+            constant = tot == n;
+        }
+        if (constant) continue;
+        int64_t run = 0;
+        for (int d = 0; d < 65536; d++)
+            for (int t = 0; t < n_chunks; t++) {
+                int64_t &h = hists[(size_t)t * 65536 + d];
+                const int64_t c = h;
+                h = run;
+                run += c;
+            }
+#pragma omp parallel for schedule(static, 1)
+        for (int t = 0; t < n_chunks; t++) {
+            int64_t *h = hists.data() + (size_t)t * 65536;
+            const int64_t lo = n * t / n_chunks,
+                          hi = n * (t + 1) / n_chunks;
+            for (int64_t i = lo; i < hi; i++) {
+                const int64_t j = h[(k_src[i] >> shift) & 0xFFFF]++;
+                k_dst[j] = k_src[i];
+                p_dst[j] = p_src[i];
+            }
         }
         std::swap(k_src, k_dst);
         std::swap(p_src, p_dst);
@@ -105,6 +140,15 @@ int64_t kmermatcher_scan(
     uint32_t *qkey_o, uint32_t *tkey_o, int32_t *score_o, int32_t *diag_o,
     int64_t *group_row_start, int64_t *group_centre, int64_t *n_groups_o)
 {
+    const bool timing = std::getenv("CARPEDEAM_SCAN_TIMING") != nullptr;
+    auto tick = std::chrono::steady_clock::now();
+    auto lap = [&](const char *label) {
+        if (!timing) return;
+        auto now = std::chrono::steady_clock::now();
+        std::fprintf(stderr, "scan %s: %.2fs\n", label,
+                     std::chrono::duration<double>(now - tick).count());
+        tick = now;
+    };
     // ---- global sort (kmermatcher.cpp:409-415) -------------------------
     // Key-only stable radix; the (tie, pos) order the reference realises
     // with a full multi-word comparison sort only matters WITHIN an
@@ -123,6 +167,7 @@ int64_t kmermatcher_scan(
         radix_sort_u64_u32(ekey, eidx, scratch);
     }
 
+    lap("entry radix");
     // ---- assignGroup (kmermatcher.cpp:453-562) -------------------------
     // centre = (tie, pos)-first entry of each equal-key group; singleton
     // groups drop; every kept entry (incl. the rep's own) becomes a pair
@@ -223,22 +268,54 @@ int64_t kmermatcher_scan(
         }
     }
 
+    lap("group walk + emit");
     // ---- sort pairs by (centre, member, diag) --------------------------
-    // Two stable LSD radixes compose: diag (k2) first, then centre|member
-    // (k1) -- equal k1 keeps k2 order; equal (k1,k2) keeps emission order.
+    // The three fields almost always pack into ONE <=64-bit key
+    // (ids < n_seqs, diag range set by sequence lengths), so one stable
+    // radix of ceil(bits/16) passes replaces the generic 6-pass
+    // two-stage compose; order is (centre, member, diag) lexicographic
+    // with emission order preserved on ties either way.
     std::vector<uint32_t> pidx(np);
     {
-        std::vector<uint64_t> skey(np);
-        RadixScratch scratch;
+        uint64_t max_c = 0, max_m = 0;
+        uint32_t min_k2 = 0xFFFFFFFFu, max_k2 = 0;
         for (int64_t i = 0; i < np; i++) {
-            skey[i] = pk2[i];
-            pidx[i] = (uint32_t)i;
+            const uint64_t c = pk1[i] >> 32, m = pk1[i] & 0xFFFFFFFFull;
+            if (c > max_c) max_c = c;
+            if (m > max_m) max_m = m;
+            if (pk2[i] < min_k2) min_k2 = pk2[i];
+            if (pk2[i] > max_k2) max_k2 = pk2[i];
         }
-        radix_sort_u64_u32(skey, pidx, scratch, 2);
-        for (int64_t i = 0; i < np; i++) skey[i] = pk1[pidx[i]];
-        radix_sort_u64_u32(skey, pidx, scratch, 4);
+        auto bits_of = [](uint64_t v) -> int {
+            return v ? 64 - __builtin_clzll(v) : 0;
+        };
+        const int bc = bits_of(max_c), bm = bits_of(max_m),
+                  bd = bits_of((uint64_t)(max_k2 - min_k2));
+        RadixScratch scratch;
+        std::vector<uint64_t> skey(np);
+        if (np && bc + bm + bd <= 64) {
+            const int passes = (bc + bm + bd + 15) / 16;
+#pragma omp parallel for schedule(static)
+            for (int64_t i = 0; i < np; i++) {
+                skey[i] = ((pk1[i] >> 32) << (bm + bd)) |
+                          ((pk1[i] & 0xFFFFFFFFull) << bd) |
+                          (uint64_t)(pk2[i] - min_k2);
+                pidx[i] = (uint32_t)i;
+            }
+            radix_sort_u64_u32(skey, pidx, scratch,
+                               passes > 0 ? passes : 1);
+        } else {
+            for (int64_t i = 0; i < np; i++) {
+                skey[i] = pk2[i];
+                pidx[i] = (uint32_t)i;
+            }
+            radix_sort_u64_u32(skey, pidx, scratch, 2);
+            for (int64_t i = 0; i < np; i++) skey[i] = pk1[pidx[i]];
+            radix_sort_u64_u32(skey, pidx, scratch, 4);
+        }
     }
 
+    lap("pair radix");
     // ---- writeKmerMatcherResult scan ------------------------------------
     std::vector<int64_t> c(np), m(np);
     std::vector<uint8_t> f(np);
@@ -255,9 +332,12 @@ int64_t kmermatcher_scan(
     std::vector<uint32_t>().swap(pk2);
     std::vector<uint8_t>().swap(pfwd);
     std::vector<uint32_t>().swap(pidx);
-    return build_pref_scan(c.data(), f.data(), m.data(), d.data(), np,
+    lap("column fill");
+    const int64_t ret = build_pref_scan(c.data(), f.data(), m.data(), d.data(), np,
                            keys, qkey_o, tkey_o, score_o, diag_o,
                            group_row_start, group_centre, n_groups_o);
+    lap("build_pref_scan");
+    return ret;
 }
 
 
