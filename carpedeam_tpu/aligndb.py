@@ -110,6 +110,16 @@ class AlnDB:
         return np.maximum(self.cols["qend"] - self.cols["qstart"],
                           self.cols["dbend"] - self.cols["dbstart"]) + 1
 
+    def slice_queries(self, lo: int, hi: int) -> "AlnDB":
+        """Sub-AlnDB holding query GROUPS [lo, hi) with their records —
+        the unit of work for distributed per-query stages (correction /
+        extension are independent per query given the full SeqDB)."""
+        s, e = int(self.starts[lo]), int(self.starts[hi])
+        return AlnDB(self.qkey[s:e],
+                     {k: v[s:e] for k, v in self.cols.items()},
+                     self.starts[lo:hi + 1] - s,
+                     self.qkeys[lo:hi])
+
     def save(self, prefix: str) -> None:
         np.savez(prefix + ".npz", qkey=self.qkey, starts=self.starts,
                  qkeys=self.qkeys, **self.cols)

@@ -131,3 +131,84 @@ def dist_rescorediagonal(dist: DistContext, seqdb, pref, seq_id_thr,
             with open(p, "rb") as fh:
                 parts.append(pickle.load(fh))
     return D.merge_aln_ranges(parts)
+
+
+def dist_broadcast_aln(dist: DistContext, aln, step: int):
+    """Rank 0 saves the merged AlnDB; every rank returns it (the
+    per-query stages below need the full alignment table on all
+    ranks)."""
+    path = os.path.join(dist.shard_dir, f"alnfull_{step}")
+    if dist.rank == 0 and aln is not None:
+        aln.save(path)
+    dist.barrier()
+    if aln is None:
+        from ..aligndb import AlnDB
+        aln = AlnDB.load(path)
+    return aln
+
+
+def dist_apply_by_query_range(dist: DistContext, step: int, tag: str,
+                              seqdb, aln, apply_fn):
+    """Distribute a per-query SeqDB -> SeqDB stage (correction,
+    read_assembly, contig_merge: each query's output depends only on its
+    own alignment group + the FULL input DB) across ranks:
+
+      * query groups split into ~equal-residue ranges
+        (Util::decomposeDomainByAminoAcid, the reference's MPI split);
+      * each rank runs the stage on its group slice (queries outside the
+        slice pass through untouched) and spills only the rows whose
+        bytes/ext actually changed;
+      * every rank assembles the identical merged result (rank-order
+        deterministic; ranges are disjoint so no row conflicts).
+    """
+    key2id = seqdb.key_to_id()
+    qrows = np.array([key2id[int(kk)] for kk in aln.qkeys], dtype=np.int64)
+    qlens = seqdb.lengths[qrows]
+    ranges = D.decompose_by_residue_count(qlens, dist.world)
+    sub = os.path.join(dist.shard_dir, f"{tag}_{step}")
+    os.makedirs(sub, exist_ok=True)
+    lo, hi = ranges[dist.rank]
+    changed: dict[int, tuple[bytes, bool]] = {}
+    if lo < hi:
+        out = apply_fn(seqdb, aln.slice_queries(lo, hi))
+        for r in qrows[lo:hi]:
+            r = int(r)
+            nb = bytes(out.seq_bytes(r))
+            ne = bool(out.ext[r])
+            if nb != bytes(seqdb.seq_bytes(r)) or ne != bool(seqdb.ext[r]):
+                changed[r] = (nb, ne)
+    tmp = os.path.join(sub, f"part_{dist.rank}.pkl.tmp")
+    with open(tmp, "wb") as fh:
+        pickle.dump(changed, fh)
+    os.replace(tmp, os.path.join(sub, f"part_{dist.rank}.pkl"))
+    dist.barrier()
+    merged: dict[int, tuple[bytes, bool]] = {}
+    for r in range(dist.world):
+        with open(os.path.join(sub, f"part_{r}.pkl"), "rb") as fh:
+            merged.update(pickle.load(fh))
+    if not merged:
+        return seqdb
+    from ..io.seqdb import SeqDB
+    n = len(seqdb)
+    new_lengths = seqdb.lengths.astype(np.int64).copy()
+    new_ext = seqdb.ext.copy()
+    parts = []
+    prev = 0
+    total_in = int(seqdb.offsets[-1] + seqdb.lengths[-1]) if n else 0
+    for i in sorted(merged):
+        o = int(seqdb.offsets[i])
+        if o > prev:
+            parts.append(seqdb.data[prev:o])
+        nb, ne = merged[i]
+        rec = np.frombuffer(nb, dtype=np.uint8)
+        parts.append(rec)
+        new_lengths[i] = len(rec)
+        new_ext[i] = ne
+        prev = o + int(seqdb.lengths[i])
+    if total_in > prev:
+        parts.append(seqdb.data[prev:total_in])
+    new_data = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    new_offsets = np.concatenate([[0], np.cumsum(new_lengths[:-1])]) \
+        .astype(np.int64)
+    return SeqDB(new_data, new_offsets, new_lengths, seqdb.keys.copy(),
+                 new_ext, seqdb.headers, seqdb.dbtype)

@@ -135,11 +135,12 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
     Returns (result SeqDB, cycle_all keys set, source SeqDB).
 
     `dist` (parallel.driver.DistContext) runs the loop across a process
-    group: kmermatcher splits by hash ranges and rescorediagonal by
-    query record ranges exactly like the reference's MPI hooks; the
-    remaining stages run on rank 0 and other ranks resume each
-    iteration from its checkpoints (requires a shared `tmp_dir`).
-    Bit-identical to the single-process run.
+    group: kmermatcher splits by hash ranges, rescorediagonal by query
+    record ranges, and correction / extension / contig merging by
+    query-group ranges (each query's output depends only on its own
+    alignment group), exactly like the reference's MPI hooks; every
+    rank assembles the identical merged DB after each stage (requires
+    a shared `tmp_dir`).  Bit-identical to the single-process run.
     """
     if dist is not None and not tmp_dir:
         raise ValueError("distributed mode requires a shared tmp_dir")
@@ -195,7 +196,16 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
 
         pref = aln = None
         if dist is not None:
-            from .parallel.driver import (dist_kmermatcher,
+            # Every stage of the iteration distributes: kmermatcher by
+            # hash ranges, rescorediagonal by query-record ranges, then
+            # correction + extension/merging by query-group ranges
+            # (dist_apply_by_query_range) — each rank computes a
+            # disjoint slice and all ranks assemble identical merged
+            # results, so no rank idles through the per-query stages
+            # (the round-2 design ran them on rank 0 alone, which made
+            # two ranks SLOWER than one).
+            from .parallel.driver import (dist_broadcast_aln,
+                                          dist_kmermatcher,
                                           dist_rescorediagonal)
             with timer.time(f"kmermatcher_{step}"):
                 pref = dist_kmermatcher(
@@ -213,11 +223,7 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                     params.seq_id_thr if read_phase
                     else params.corr_contig_seq_id,
                     params.eval_thr, params.aln_len_thr, step)
-            if dist.rank != 0:
-                dist.barrier()      # rank 0 writes the iteration output
-                _restore(step, read_phase, name)
-                log(f"step {step}: restored from rank 0")
-                continue
+                aln = dist_broadcast_aln(dist, aln, step)
 
         if read_phase:
             if pref is None:
@@ -234,20 +240,41 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                                      params.eval_thr, params.aln_len_thr,
                                      **shared)
             with timer.time(f"correction_{step}"):
-                corr = correction_fn(cur, aln, damage,
-                                     params.corr_reads_ry_seq_id,
-                                     params.seq_id_thr, **shared)
+                if dist is not None:
+                    from .parallel.driver import dist_apply_by_query_range
+                    corr = dist_apply_by_query_range(
+                        dist, step, "corr", cur, aln,
+                        lambda db, a: correction_fn(
+                            db, a, damage, params.corr_reads_ry_seq_id,
+                            params.seq_id_thr))
+                else:
+                    corr = correction_fn(cur, aln, damage,
+                                         params.corr_reads_ry_seq_id,
+                                         params.seq_id_thr, **shared)
             with timer.time(f"read_assembly_{step}"):
                 # extension scores run over the CORRECTED sequences: pack
                 # fresh device planes for them when on the device path
-                nxt = read_assembly(corr, aln, damage, params.seq_id_thr,
-                                    params.ry_seq_id_thr,
-                                    params.likelihood_threshold,
-                                    params.random_align_penal,
-                                    params.excess_penal, params.max_seq_len,
-                                    params.ancient_unsafe,
-                                    params.min_cov_safe,
-                                    **_shared_planes(corr))
+                if dist is not None:
+                    nxt = dist_apply_by_query_range(
+                        dist, step, "ext", corr, aln,
+                        lambda db, a: read_assembly(
+                            db, a, damage, params.seq_id_thr,
+                            params.ry_seq_id_thr,
+                            params.likelihood_threshold,
+                            params.random_align_penal,
+                            params.excess_penal, params.max_seq_len,
+                            params.ancient_unsafe, params.min_cov_safe))
+                else:
+                    nxt = read_assembly(corr, aln, damage,
+                                        params.seq_id_thr,
+                                        params.ry_seq_id_thr,
+                                        params.likelihood_threshold,
+                                        params.random_align_penal,
+                                        params.excess_penal,
+                                        params.max_seq_len,
+                                        params.ancient_unsafe,
+                                        params.min_cov_safe,
+                                        **_shared_planes(corr))
         else:
             if pref is None:
                 with timer.time(f"kmermatcher_{step}"):
@@ -263,17 +290,35 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                                      params.eval_thr, params.aln_len_thr,
                                      **shared)
             with timer.time(f"correction_{step}"):
-                corr = correction_fn(cur, aln, damage,
-                                     params.corr_reads_ry_seq_id,
-                                     params.corr_contig_seq_id, **shared)
+                if dist is not None:
+                    from .parallel.driver import dist_apply_by_query_range
+                    corr = dist_apply_by_query_range(
+                        dist, step, "corr", cur, aln,
+                        lambda db, a: correction_fn(
+                            db, a, damage, params.corr_reads_ry_seq_id,
+                            params.corr_contig_seq_id))
+                else:
+                    corr = correction_fn(cur, aln, damage,
+                                         params.corr_reads_ry_seq_id,
+                                         params.corr_contig_seq_id,
+                                         **shared)
             with timer.time(f"contig_merge_{step}"):
-                nxt = contig_merge(corr, aln, damage,
-                                   params.merge_seq_id_thr,
-                                   params.ry_seq_id_thr, params.max_seq_len,
-                                   params.ancient_unsafe,
-                                   params.min_cov_safe)
+                if dist is not None:
+                    nxt = dist_apply_by_query_range(
+                        dist, step, "merge", corr, aln,
+                        lambda db, a: contig_merge(
+                            db, a, damage, params.merge_seq_id_thr,
+                            params.ry_seq_id_thr, params.max_seq_len,
+                            params.ancient_unsafe, params.min_cov_safe))
+                else:
+                    nxt = contig_merge(corr, aln, damage,
+                                       params.merge_seq_id_thr,
+                                       params.ry_seq_id_thr,
+                                       params.max_seq_len,
+                                       params.ancient_unsafe,
+                                       params.min_cov_safe)
 
-        if ck.tmp:
+        if ck.tmp and (dist is None or dist.rank == 0):
             nxt.save(ck.path(name))
             ck.mark(name)
         log(f"step {step}: {'reads' if read_phase else 'contigs'} "
@@ -283,7 +328,7 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
         if not read_phase and params.cycle_check:
             cyc, none_cyc = cyclecheck(cur, k=22, chop=params.chop_cycle,
                                        max_seq_len=params.max_seq_len)
-            if ck.tmp:
+            if ck.tmp and (dist is None or dist.rank == 0):
                 cyc.save(ck.path(f"cycle_{step}"))
                 ck.mark(f"cycle_{step}")
             if len(cyc):
