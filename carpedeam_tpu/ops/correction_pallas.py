@@ -334,6 +334,7 @@ def _run_correction_level(planes, lens, rec, rows, q_lvl, t_row_lvl,
     corrected bytes of this level's queries into out_flat.  Returns the
     level's heavy query ids (stacks too deep for the record tile),
     REMAPPED BACK to global ids."""
+    from ..utils import subtimer
     max_len = planes["sym"].shape[1]
     G, REC_TILE = _tiles_for(max_len)
     rec_lvl = {"rec_keep_pre": rec["rec_keep_pre"][rows],
@@ -343,14 +344,17 @@ def _run_correction_level(planes, lens, rec, rows, q_lvl, t_row_lvl,
                "rec_alen": rec["rec_alen"][rows],
                "rec_ry_smin": rec["rec_ry_smin"][rows],
                "rec_is_rev": rec["rec_is_rev"][rows]}
-    blocks = build_correction_blocks(rec_lvl, lens, n_lvl, g=G,
-                                     rec_tile=REC_TILE)
+    with subtimer(f"corr.blocks_L{max_len}"):
+        blocks = build_correction_blocks(rec_lvl, lens, n_lvl, g=G,
+                                         rec_tile=REC_TILE)
     if blocks is None:
         return qid_of[np.unique(q_lvl[rec_lvl["rec_keep_pre"]])] \
             if rec_lvl["rec_keep_pre"].any() else np.zeros(0, np.int64)
     nb = blocks["nb"]
     sel, use = blocks["sel"], blocks["use"]
 
+    _st_scal = subtimer(f"corr.scalars_L{max_len}")
+    _st_scal.__enter__()
     rscal = np.zeros((nb * REC_TILE, 8), dtype=np.int16)
     rscal[:, 0] = rec_lvl["rec_qstart"][sel]
     rscal[:, 1] = rec_lvl["rec_tstart"][sel]
@@ -378,20 +382,27 @@ def _run_correction_level(planes, lens, rec, rows, q_lvl, t_row_lvl,
         # log_q_err[p, q] = log_err[q, obs[p]]
         wtab[44 + t, 0:4] = log_err[:, t]
 
-    packed = np.asarray(_correction_pallas_device(
-        planes["sym"], q_lvl[sel].astype(np.int32),
-        t_row_lvl[sel].astype(np.int32),
-        rscal, rrow.reshape(nb * 8, REC_TILE),
-        blocks["slot_qid"], qscal, wtab,
-        nb=nb, max_len=max_len,
-        interpret=jax.default_backend() == "cpu",
-        g=G, rec_tile=REC_TILE))
+    _st_scal.__exit__()
+    with subtimer(f"corr.device_L{max_len}"):
+        dev_out = _correction_pallas_device(
+            planes["sym"], q_lvl[sel].astype(np.int32),
+            t_row_lvl[sel].astype(np.int32),
+            rscal, rrow.reshape(nb * 8, REC_TILE),
+            blocks["slot_qid"], qscal, wtab,
+            nb=nb, max_len=max_len,
+            interpret=jax.default_backend() == "cpu",
+            g=G, rec_tile=REC_TILE)
+        dev_out.block_until_ready()
+    with subtimer(f"corr.pull_L{max_len}"):
+        packed = np.asarray(dev_out)
 
     from .. import native
-    if native.corr_unpack_scatter(packed, nb, G, max_len,
-                                  blocks["slot_valid"],
-                                  blocks["slot_qid"], qid_of,
-                                  lens_global, offsets, out_flat):
+    with subtimer(f"corr.unpack_L{max_len}"):
+        nat_ok = native.corr_unpack_scatter(packed, nb, G, max_len,
+                                            blocks["slot_valid"],
+                                            blocks["slot_qid"], qid_of,
+                                            lens_global, offsets, out_flat)
+    if nat_ok:
         return qid_of[blocks["heavy_qids"]]
     acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
     # un-nibble: block row b*G/2+g holds slots g (low) and g+G/2 (high)
@@ -418,14 +429,15 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
     (CORR_LEN_LEVELS) that holds it and every target in its surviving
     record stack; only queries beyond the last level (or with stacks
     deeper than the record tile) use the per-query host oracle."""
-    from ..utils import bucket_len
+    from ..utils import bucket_len, subtimer
     from .correction_tpu import prepare_correction_inputs
     from .rescore_tpu import device_planes
 
     n = len(seqdb)
     db_max = int(seqdb.lengths.max()) if n else 1
-    rec = prepare_correction_inputs(seqdb, aln, n, corr_reads_ry_seq_id,
-                                    seq_id_thr)
+    with subtimer("corr.prepare_inputs"):
+        rec = prepare_correction_inputs(seqdb, aln, n, corr_reads_ry_seq_id,
+                                        seq_id_thr)
     lens_all = seqdb.lengths.astype(np.int64)
 
     # per-query width requirement: own length and the longest target in

@@ -175,6 +175,7 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
     # sequences recomputed on the host for exact raw-char semantics) ------
     if planes is not None and n_rec \
             and planes["sym"].shape[1] <= 16384:
+        from ..utils import subtimer
         from .ext_pallas import consensus_likelihood_pallas
         from .window_pallas import has_non_acgt_flags, window_identity_pallas
         # host recompute for records with non-ACGT chars OR sequences
@@ -186,9 +187,10 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
         rt = np.nonzero(terminal & not_identity)[0]
         if len(rt):
             win = (qe - qs + 1)[rt]
-            idc, ryc = window_identity_pallas(
-                planes, n_seq, qid[rt], tid[rt],
-                np.zeros(len(rt), bool), qs[rt], ts[rt], win)
+            with subtimer("ext.window_identity_dev"):
+                idc, ryc = window_identity_pallas(
+                    planes, n_seq, qid[rt], tid[rt],
+                    np.zeros(len(rt), bool), qs[rt], ts[rt], win)
             fx = np.nonzero(flags[qid[rt]] | flags[tid[rt]])[0]
             if len(fx):
                 idc[fx], ryc[fx] = _pass_b_identity_host(
@@ -222,9 +224,10 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
                             2 * qlen[cc] - alen[cc])
             ir0 = -base
             ir1 = 3 * qlen[cc] - base
-            total, idc2, ryc2, lik = consensus_likelihood_pallas(
-                planes, n_seq, qid[cc], tid[cc], qpos0, qlen[cc],
-                tlen[cc], ir0, ir1, logm)
+            with subtimer("ext.consensus_lik_dev"):
+                total, idc2, ryc2, lik = consensus_likelihood_pallas(
+                    planes, n_seq, qid[cc], tid[cc], qpos0, qlen[cc],
+                    tlen[cc], ir0, ir1, logm)
             fx = np.nonzero(flags[qid[cc]] | flags[tid[cc]])[0]
             if len(fx):
                 h = _consensus_likelihood_host(
@@ -280,6 +283,8 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
             # same C++ that backs the host fast path below), NumPy dense
             # windows otherwise — identical columns either way
             from .. import native
+            _st_f64 = subtimer("ext.f64_guard_host")
+            _st_f64.__enter__()
             nat = native.read_prepass(
                 data, offsets, seqdb.lengths, qid[sub].astype(np.int32),
                 tid[sub].astype(np.int32), qs[sub].astype(np.int32),
@@ -305,6 +310,7 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
             res["s_len_norm"][sub] = sln
             res["s_ratio"][sub] = sr
             res["queue_ok"][sub] = queue_pre[sub] & (sr > likelihood_thr)
+            _st_f64.__exit__()
         return res
 
     # ---- native fast path: passes A-C + consensus + likelihood in C++ ---

@@ -234,23 +234,24 @@ def rescorediagonal_pallas(seqdb, pref, seq_id_thr, eval_thr=0.001,
     from ..stages.rescorediagonal import (_score_pairs_native,
                                           _score_pairs_numpy,
                                           assemble_alndb)
-    from ..utils import bucket_len, bucket_pairs
+    from ..utils import bucket_len, bucket_pairs, subtimer
     from .rescore_tpu import device_planes
 
-    n = len(pref.qkey)
-    qidx_all = seqdb.lookup_keys(pref.qkey).astype(np.int32)
-    tidx_all = seqdb.lookup_keys(pref.tkey).astype(np.int32)
-    qlen_all = seqdb.lengths[qidx_all].astype(np.int64)
-    tlen_all = seqdb.lengths[tidx_all].astype(np.int64)
-    pair_max = np.maximum(qlen_all, tlen_all)
-    diag_all = pref.diag.astype(np.int32)
-    rev_all = pref.score < 0
+    with subtimer("rescore.host_prep"):
+        n = len(pref.qkey)
+        qidx_all = seqdb.lookup_keys(pref.qkey).astype(np.int32)
+        tidx_all = seqdb.lookup_keys(pref.tkey).astype(np.int32)
+        qlen_all = seqdb.lengths[qidx_all].astype(np.int64)
+        tlen_all = seqdb.lengths[tidx_all].astype(np.int64)
+        pair_max = np.maximum(qlen_all, tlen_all)
+        diag_all = pref.diag.astype(np.int32)
+        rev_all = pref.score < 0
 
-    raw = {f: np.zeros(n, dtype=np.int64) for f in
-           ("score", "qstart", "qend", "tstart", "tend", "aln_len",
-            "id_cnt")}
-    raw["qlen"] = qlen_all
-    raw["tlen"] = tlen_all
+        raw = {f: np.zeros(n, dtype=np.int64) for f in
+               ("score", "qstart", "qend", "tstart", "tend", "aln_len",
+                "id_cnt")}
+        raw["qlen"] = qlen_all
+        raw["tlen"] = tlen_all
 
     done = np.zeros(n, dtype=bool)
     for lvl in LEN_LEVELS:
@@ -262,31 +263,40 @@ def rescorediagonal_pallas(seqdb, pref, seq_id_thr, eval_thr=0.001,
             pl_b, len_b = planes, np.asarray(lengths)
             q_b, t_b = qidx_all[rows], tidx_all[rows]
         else:
-            sub = np.unique(np.concatenate([qidx_all[rows],
-                                            tidx_all[rows]]))
-            remap = np.full(len(seqdb), -1, dtype=np.int32)
-            remap[sub] = np.arange(len(sub), dtype=np.int32)
-            pl_b, len_b = device_planes(
-                seqdb, max_len=bucket_len(min(lvl, int(pair_max[rows]
-                                                       .max()))), ids=sub)
-            q_b, t_b = remap[qidx_all[rows]], remap[tidx_all[rows]]
-        m = len(rows)
-        mp = bucket_pairs(m)
-        qi = np.zeros(mp, dtype=np.int32)
-        ti = np.zeros(mp, dtype=np.int32)
-        dg = np.zeros(mp, dtype=np.int32)
-        rv = np.zeros(mp, dtype=bool)
-        qi[:m], ti[:m], dg[:m], rv[:m] = q_b, t_b, diag_all[rows], \
-            rev_all[rows]
-        out = rescore_pairs_pallas(pl_b["code"], pl_b["sym"],
-                                   len_b.astype(np.int32), qi, ti, dg, rv,
-                                   max_len=pl_b["code"].shape[1],
-                                   interpret=_use_interpret())
-        packed = np.asarray(out)[:m].astype(np.int64)
-        for i, f in enumerate(RESCORE_FIELDS):
-            raw[f][rows] = packed[:, i]
-        raw["qend"][rows] = raw["qstart"][rows] + raw["aln_len"][rows] - 1
-        raw["tend"][rows] = raw["tstart"][rows] + raw["aln_len"][rows] - 1
+            with subtimer(f"rescore.planes_lvl{lvl}"):
+                sub = np.unique(np.concatenate([qidx_all[rows],
+                                                tidx_all[rows]]))
+                remap = np.full(len(seqdb), -1, dtype=np.int32)
+                remap[sub] = np.arange(len(sub), dtype=np.int32)
+                pl_b, len_b = device_planes(
+                    seqdb, max_len=bucket_len(min(lvl, int(pair_max[rows]
+                                                           .max()))),
+                    ids=sub)
+                q_b, t_b = remap[qidx_all[rows]], remap[tidx_all[rows]]
+        with subtimer(f"rescore.pad_lvl{lvl}"):
+            m = len(rows)
+            mp = bucket_pairs(m)
+            qi = np.zeros(mp, dtype=np.int32)
+            ti = np.zeros(mp, dtype=np.int32)
+            dg = np.zeros(mp, dtype=np.int32)
+            rv = np.zeros(mp, dtype=bool)
+            qi[:m], ti[:m], dg[:m], rv[:m] = q_b, t_b, diag_all[rows], \
+                rev_all[rows]
+        with subtimer(f"rescore.device_lvl{lvl}"):
+            out = rescore_pairs_pallas(pl_b["code"], pl_b["sym"],
+                                       len_b.astype(np.int32), qi, ti, dg,
+                                       rv, max_len=pl_b["code"].shape[1],
+                                       interpret=_use_interpret())
+            out.block_until_ready()
+        with subtimer(f"rescore.pull_lvl{lvl}"):
+            packed = np.asarray(out)[:m].astype(np.int64)
+        with subtimer(f"rescore.unpack_lvl{lvl}"):
+            for i, f in enumerate(RESCORE_FIELDS):
+                raw[f][rows] = packed[:, i]
+            raw["qend"][rows] = raw["qstart"][rows] \
+                + raw["aln_len"][rows] - 1
+            raw["tend"][rows] = raw["tstart"][rows] \
+                + raw["aln_len"][rows] - 1
 
     rest = np.nonzero(~done)[0]
     if len(rest):
@@ -300,5 +310,6 @@ def rescorediagonal_pallas(seqdb, pref, seq_id_thr, eval_thr=0.001,
             sraw = _score_pairs_numpy(seqdb, sub_pref)
         for f in raw:
             raw[f][rest] = sraw[f].astype(np.int64)
-    return assemble_alndb(seqdb, pref, raw, seq_id_thr, eval_thr,
-                          aln_len_thr)
+    with subtimer("rescore.assemble"):
+        return assemble_alndb(seqdb, pref, raw, seq_id_thr, eval_thr,
+                              aln_len_thr)

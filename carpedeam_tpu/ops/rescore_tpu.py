@@ -160,10 +160,16 @@ def device_planes(seqdb, max_len=None, ids=None):
     code planes derive on device (the tunnel H2D link is the cost here,
     not HBM bandwidth).  Returns ({"code", "sym"} device arrays, lengths)
     like callers expect."""
-    planes, lengths = pack_sequences(seqdb, max_len=max_len, ids=ids,
-                                     fwd_only=True)
-    sym_fwd = jax.device_put(planes["sym"])
-    return _assemble_planes(sym_fwd, jnp.asarray(lengths)), lengths
+    from ..utils import subtimer
+    with subtimer("planes.pack_host"):
+        planes, lengths = pack_sequences(seqdb, max_len=max_len, ids=ids,
+                                         fwd_only=True)
+    with subtimer("planes.h2d"):
+        sym_fwd = jax.device_put(planes["sym"])
+        sym_fwd.block_until_ready()
+    with subtimer("planes.derive_dev"):
+        out = _assemble_planes(sym_fwd, jnp.asarray(lengths))
+    return out, lengths
 
 
 @partial(jax.jit, static_argnames=("max_len",))

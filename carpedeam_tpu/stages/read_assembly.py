@@ -112,6 +112,7 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
                   unsafe: bool = False, min_cov_safe: int = 5,
                   planes=None, lengths=None) -> SeqDB:
     """One iteration of read-phase extension over the whole (corrected) DB."""
+    from ..utils import subtimer
     from .consensus import consensus_caller
 
     key2id = seqdb.key_to_id()
@@ -127,10 +128,11 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
     pre = None
     if not unsafe:
         from ..ops.extension_batch import batch_initial_scoring
-        pre = batch_initial_scoring(seqdb, aln, damage, seq_id_thr,
-                                    ry_seq_id_thr, likelihood_thr,
-                                    rand_aln_penal, excess_penal,
-                                    planes=planes, lengths=lengths)
+        with subtimer("ext.batch_scoring"):
+            pre = batch_initial_scoring(seqdb, aln, damage, seq_id_thr,
+                                        ry_seq_id_thr, likelihood_thr,
+                                        rand_aln_penal, excess_penal,
+                                        planes=planes, lengths=lengths)
 
     out_seqs: list[bytes] = []
     out_ext: list[bool] = []
@@ -175,6 +177,8 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
     else:
         iter_ids = range(len(seqdb))
 
+    _st_greedy = subtimer("ext.greedy_loop")
+    _st_greedy.__enter__()
     for i in iter_ids:
         qkey = int(seqdb.keys[i])
         qi = int(qi_arr[i]) if pre is not None else aln_by_key.get(qkey)
@@ -409,6 +413,7 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
             out_seqs.append(qseq.tobytes())
             out_ext.append(bool(seqdb.ext[i]))
 
+    _st_greedy.__exit__()
     if pre is None:
         return SeqDB.from_sequences(out_seqs, keys=seqdb.keys.copy(),
                                     ext=np.array(out_ext, dtype=bool),

@@ -94,6 +94,51 @@ class _StageScope:
 
 
 # --------------------------------------------------------------------------
+# Sub-step profiling: fine-grained host-prep / H2D / device / D2H / host-
+# assembly attribution inside the device stages.  Enabled with
+# CARPEDEAM_SUBTIMING=1; prints "## <stage>.<step>: <secs>" to stderr and
+# accumulates into SUBTIMES for programmatic reads (tools/profile_fine.py).
+# --------------------------------------------------------------------------
+_SUBTIMING = os.environ.get("CARPEDEAM_SUBTIMING", "") not in ("", "0")
+SUBTIMES: dict[str, float] = {}
+
+
+class _SubScope:
+    __slots__ = ("name", "t0")
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        dt = time.perf_counter() - self.t0
+        SUBTIMES[self.name] = SUBTIMES.get(self.name, 0.0) + dt
+        import sys
+        print(f"## {self.name}: {dt:.4f}s", file=sys.stderr, flush=True)
+        return False
+
+
+class _NullScope:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+_NULL_SCOPE = _NullScope()
+
+
+def subtimer(name: str):
+    """Context manager timing one sub-step when CARPEDEAM_SUBTIMING=1
+    (no-op otherwise; the hot path pays one truthiness check)."""
+    return _SubScope(name) if _SUBTIMING else _NULL_SCOPE
+
+
+# --------------------------------------------------------------------------
 # Verbosity-levelled logging + progress/ETA (the reference's Debug class
 # and Debug::Progress bar, lib/mmseqs/src/commons/Debug.h:20-160).
 # Levels: 0 NOTHING, 1 ERROR, 2 WARNING, 3 INFO (reference default).

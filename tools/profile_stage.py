@@ -40,7 +40,7 @@ def main():
     print(f"backend={jax.default_backend()} reads={len(db)} "
           f"residues={int(db.lengths.sum())}")
 
-    for rep in range(2):
+    for rep in range(int(os.environ.get("CARPEDEAM_PROFILE_REPS", "2"))):
         print(f"--- rep {rep} ---")
         pref = t("kmermatcher", km_fn, db, params.kmer_size_reads,
                  params.kmers_per_sequence,
