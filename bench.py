@@ -74,7 +74,6 @@ def main():
     from carpedeam_tpu.params import Params
     from carpedeam_tpu.pipeline import _pick_stage_impls
     from carpedeam_tpu.stages.read_assembly import read_assembly
-    from carpedeam_tpu.ops.rescore_tpu import device_planes
     from carpedeam_tpu.utils import bucket_len
 
     n_reads = int(os.environ.get("CARPEDEAM_BENCH_READS", "120000"))
@@ -86,33 +85,55 @@ def main():
     km_fn, rescore_fn, correction_fn, wants_planes = \
         _pick_stage_impls(params)
 
-    def planes_for(d):
+    from carpedeam_tpu.ops.rescore_tpu import PlanesPrefetch
+
+    def planes_prefetch(d):
+        if not wants_planes:
+            return None
+        max_len = bucket_len(min(512, int(d.lengths.max())))
+        return PlanesPrefetch(d, max_len=max_len)
+
+    def planes_for(d, pf=None):
         if not wants_planes:
             return {}
-        max_len = bucket_len(min(512, int(d.lengths.max())))
-        planes, lengths = device_planes(d, max_len=max_len)
+        if pf is None:
+            pf = planes_prefetch(d)
+        planes, lengths = pf.get()
         return {"planes": planes, "lengths": lengths}
 
     def step(report=None):
         t0 = time.perf_counter()
+        # plane upload prefetch overlaps the host k-mer scan, exactly as
+        # pipeline.nuclassemble dispatches it before the kmermatcher
+        pf = planes_prefetch(db)
         pref = km_fn(db, params.kmer_size_reads,
                      params.kmers_per_sequence,
                      params.kmers_per_sequence_scale,
                      params.include_only_extendable_reads,
                      params.hash_shift)
         t1 = time.perf_counter()
-        shared = planes_for(db)
+        shared = planes_for(db, pf)
         aln = rescore_fn(db, pref, params.seq_id_thr, params.eval_thr,
                          params.aln_len_thr, **shared)
         t2 = time.perf_counter()
-        corr = correction_fn(db, aln, dm, params.corr_reads_ry_seq_id,
-                             params.seq_id_thr, **shared)
+        corr_shared = None
+        if shared and getattr(correction_fn, "supports_planes_out",
+                              False):
+            corr, corr_shared = correction_fn(
+                db, aln, dm, params.corr_reads_ry_seq_id,
+                params.seq_id_thr, return_planes=True, **shared)
+        else:
+            corr = correction_fn(db, aln, dm,
+                                 params.corr_reads_ry_seq_id,
+                                 params.seq_id_thr, **shared)
         t3 = time.perf_counter()
         read_assembly(corr, aln, dm, params.seq_id_thr,
                       params.ry_seq_id_thr, params.likelihood_threshold,
                       params.random_align_penal, params.excess_penal,
                       params.max_seq_len, params.ancient_unsafe,
-                      params.min_cov_safe, **planes_for(corr))
+                      params.min_cov_safe,
+                      **(corr_shared if corr_shared is not None
+                         else planes_for(corr)))
         t4 = time.perf_counter()
         if report is not None:
             report.append({"kmermatcher": t1 - t0,

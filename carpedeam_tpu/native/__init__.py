@@ -126,10 +126,10 @@ def get_lib():
             _u64p, _i32p, _u16p, _i64p, _i64p, _i64p, ctypes.c_int64,
             _i64p, _u64p, _i64p, _i32p, _i32p, _u16p]
         lib.kmer_compact.restype = None
-        lib.corr_unpack_scatter.argtypes = [
+        lib.corr_unpack2_scatter.argtypes = [
             _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             _u8p, _i32p, _i64p, _i64p, _i64p, _u8p]
-        lib.corr_unpack_scatter.restype = None
+        lib.corr_unpack2_scatter.restype = None
         lib.sort_kmer_entries.argtypes = [_u64p, _i64p, _i32p, _i32p,
                                           ctypes.c_int64, _i64p]
         lib.sort_kmer_entries.restype = None
@@ -525,7 +525,7 @@ def linclust_align_best(data, offsets, lengths, qid, tid, diag_u,
     return out
 
 
-def corr_unpack_scatter(packed, nb: int, g: int, max_len: int,
+def corr_unpack2_scatter(packed, nb: int, g: int, max_len: int,
                         slot_valid, slot_qid, qid_of, lens_global,
                         offsets, out_flat) -> bool:
     """Un-nibble the correction kernel's packed output and scatter the
@@ -534,7 +534,7 @@ def corr_unpack_scatter(packed, nb: int, g: int, max_len: int,
     lib = get_lib()
     if lib is None:
         return False
-    lib.corr_unpack_scatter(
+    lib.corr_unpack2_scatter(
         _as(packed, np.uint8, _u8p), nb, g, max_len,
         _as(np.ascontiguousarray(slot_valid, dtype=np.uint8), np.uint8,
             _u8p),

@@ -699,29 +699,31 @@ extern "C" void kmer_compact(
 // position) into the flat sequence store.  Each valid slot owns a unique
 // query (correction_pallas block builder), so rows are race-free.
 // ---------------------------------------------------------------------------
-extern "C" void corr_unpack_scatter(
+// Un-2-bit the correction kernel's packed output (four query slots per
+// byte: slot g in bit pair g/(G/4)) and write EVERY position < qlen
+// (the coverage gate is folded on device; non-ACGT queries never reach
+// this path, so ACGT[code] reproduces unchanged bytes exactly).
+extern "C" void corr_unpack2_scatter(
     const uint8_t *packed, int64_t nb, int64_t G, int64_t max_len,
     const uint8_t *slot_valid, const int32_t *slot_qid,
     const int64_t *qid_of, const int64_t *lens_global,
     const int64_t *offsets, uint8_t *out_flat)
 {
     static const char acgt[5] = "ACGT";
-    const int64_t half = G / 2;
+    const int64_t quarter = G / 4;
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
 #endif
     for (int64_t s = 0; s < nb * G; s++) {
         if (!slot_valid[s]) continue;
         const int64_t b = s / G, g = s % G;
-        const uint8_t *row = packed + (b * half + (g % half)) * max_len;
-        const int shift = g >= half ? 4 : 0;
+        const uint8_t *row = packed + (b * quarter + (g % quarter)) * max_len;
+        const int shift = 2 * (int)(g / quarter);
         const int64_t qg = qid_of[slot_qid[s]];
         int64_t L = lens_global[qg];
         if (L > max_len) L = max_len;
         uint8_t *dst = out_flat + offsets[qg];
-        for (int64_t p = 0; p < L; p++) {
-            const uint8_t v = (uint8_t)((row[p] >> shift) & 15);
-            if (v >= 4) dst[p] = (uint8_t)acgt[v & 3];
-        }
+        for (int64_t p = 0; p < L; p++)
+            dst[p] = (uint8_t)acgt[(row[p] >> shift) & 3];
     }
 }

@@ -54,15 +54,18 @@ MAX_LEN_PALLAS = 2048  # beyond this, fall back to the XLA kernel
 def _tiles_for(max_len: int) -> tuple[int, int]:
     """(query slots, record slots) per block, sized so the one-hot
     scratch (REC_TILE x 11L bf16) and per-base counts (2G x 11L f32)
-    fit VMEM.  G >= 16 keeps every block's sublane dimension >= 8
-    (Mosaic tiling constraint), including the nibble-packed output."""
+    fit VMEM.  Narrow (read-length) levels use big blocks: the scalar
+    planes are sized nb*REC_TILE, so fuller blocks mean fewer padded
+    slots crossing the tunnel, and a 2G >= 256 membership matmul keeps
+    the MXU's M dimension full.  G >= 32 everywhere: the 2-bit packed
+    output block has G//4 sublanes and Mosaic requires >= 8."""
     if max_len <= 128:
-        return 32, 256
+        return 128, 512
     if max_len <= 512:
         return 32, 128
     if max_len <= 1024:
-        return 16, 64
-    return 16, 32
+        return 32, 64
+    return 32, 32
 
 
 def _roll_rows_left(x, shift, width: int):
@@ -78,20 +81,17 @@ def _roll_rows_left(x, shift, width: int):
 
 
 def _make_correction_kernel(G: int):
-    def kernel(q_sym_ref, t_sym_ref, rscal_ref, rrow_ref,
-               slot_sym_ref, qscal_ref, wtab_ref,
+    def kernel(t_sym_ref, rscal_ref, slot_sym_ref, qscal_ref, wtab_ref,
                packed_ref, onehot):
         return _correction_kernel_body(
-            G, q_sym_ref, t_sym_ref, rscal_ref, rrow_ref, slot_sym_ref,
-            qscal_ref, wtab_ref, packed_ref, onehot)
+            G, t_sym_ref, rscal_ref, slot_sym_ref, qscal_ref, wtab_ref,
+            packed_ref, onehot)
     return kernel
 
 
-def _correction_kernel_body(G, q_sym_ref, t_sym_ref, rscal_ref, rrow_ref,
-                            slot_sym_ref, qscal_ref, wtab_ref,
-                            packed_ref, onehot):
-    R, L = q_sym_ref.shape
-    q_sym = q_sym_ref[:].astype(jnp.int32)
+def _correction_kernel_body(G, t_sym_ref, rscal_ref, slot_sym_ref,
+                            qscal_ref, wtab_ref, packed_ref, onehot):
+    R, L = t_sym_ref.shape
     t_sym = t_sym_ref[:].astype(jnp.int32)
     qstart = rscal_ref[:, 0:1].astype(jnp.int32)
     tstart = rscal_ref[:, 1:2].astype(jnp.int32)
@@ -99,7 +99,27 @@ def _correction_kernel_body(G, q_sym_ref, t_sym_ref, rscal_ref, rrow_ref,
     tlen = rscal_ref[:, 3:4].astype(jnp.int32)
     smin = rscal_ref[:, 4:5].astype(jnp.int32)
     keep_pre = rscal_ref[:, 5:6].astype(jnp.int32)
+    qslot = rscal_ref[:, 6:7].astype(jnp.int32)
+    is_rev = rscal_ref[:, 7:8].astype(jnp.int32)
     pos = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+
+    # per-record slot membership (R, G): one-hot of the record's query
+    # slot (sentinel G -> all-zero row); the reverse-orientation subset
+    # alongside gives the (R, 2G) matrix whose transpose-contraction
+    # with the one-hot class planes is the coverage histogram
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (R, G), 1)
+    m_all_b = gidx == qslot
+    m_all = m_all_b.astype(jnp.bfloat16)
+    m_rev = (m_all_b & (is_rev != 0)).astype(jnp.bfloat16)
+    membT = jnp.concatenate([m_all, m_rev], axis=1)        # (R, 2G)
+
+    # per-record query symbols via the MXU instead of a host-side row
+    # gather upload: records of a slot share the slot's query row, and
+    # symbol bytes <= 127 are bf16-exact
+    q_sym = jax.lax.dot_general(
+        m_all, slot_sym_ref[:].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
 
     # align the target window to the query-local frame
     shift = tstart - qstart
@@ -126,15 +146,6 @@ def _correction_kernel_body(G, q_sym_ref, t_sym_ref, rscal_ref, rrow_ref,
     layer = jnp.where(from_end >= 0, 6 + from_end, layer)
     cls = jnp.where(in_aln & keep, t_base * 11 + layer, 44)
 
-    # membership matrix: rows [0,G) per-slot coverage, [G,2G) the
-    # reverse-orientation subset
-    qslot = rrow_ref[0:1, :].astype(jnp.int32)
-    is_rev = rrow_ref[1:2, :].astype(jnp.int32)
-    gi = jax.lax.broadcasted_iota(jnp.int32, (2 * G, R), 0)
-    m_all = (gi == qslot).astype(jnp.int32)
-    m_rev = (((gi - G) == qslot) & (is_rev != 0)).astype(jnp.int32)
-    memb = jnp.where(gi < G, m_all, m_rev).astype(jnp.bfloat16)
-
     # ---- fused Bayesian argmax over the G query slots ----
     qlen = qscal_ref[:, 0:1].astype(jnp.int32)
     was_ext = qscal_ref[:, 1:2].astype(jnp.int32) != 0
@@ -159,8 +170,9 @@ def _correction_kernel_body(G, q_sym_ref, t_sym_ref, rscal_ref, rrow_ref,
         for l in range(11):
             onehot[:, l * L:(l + 1) * L] = \
                 (cls == t * 11 + l).astype(jnp.bfloat16)
-        counts = jnp.dot(memb, onehot[:],
-                         preferred_element_type=jnp.float32)  # (2G, 11L)
+        counts = jax.lax.dot_general(
+            membT, onehot[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (2G, 11L)
         cov_t = jnp.zeros((G, L), jnp.float32)
         for l in range(11):
             c = t * 11 + l
@@ -201,24 +213,24 @@ def _correction_kernel_body(G, q_sym_ref, t_sym_ref, rscal_ref, rrow_ref,
     # ct/ga >= 0.4 early exit (exact: 5*count >= 2*total on integer f32)
     ratio_exit = (~was_ext) & ((5.0 * base_cov[3] >= 2.0 * tot)
                                | (5.0 * base_cov[0] >= 2.0 * tot))
-    corrected = jnp.where(ratio_exit, obs, bi)
-    # nibble-pack TWO query slots per byte (slots g and g+G/2): bits 0-1
-    # corrected base, bit 2 the coverage>1 gate — an 8x narrower D2H
-    # pull than int32 planes
-    covered = (tot >= 2.0).astype(jnp.int32)
-    v = corrected + 4 * covered
-    packed_ref[:] = (v[0:G // 2, :] + 16 * v[G // 2:G, :]).astype(jnp.int8)
+    # coverage<=1 gate folded into the base itself (position keeps its
+    # own base): queries with any non-ACGT/lowercase character are
+    # routed to the host oracle, so ACGT[obs] == the original byte and
+    # the pull needs only 2 bits per base — FOUR query slots per byte
+    # (slots g, g+G/4, g+2G/4, g+3G/4), a 4x narrower D2H pull
+    final = jnp.where(ratio_exit | (tot < 2.0), obs, bi)
+    q = G // 4
+    packed_ref[:] = (final[0:q] + 4 * final[q:2 * q] + 16 * final[2 * q:3 * q]
+                     + 64 * final[3 * q:4 * q]).astype(jnp.int8)
 
 
 @partial(jax.jit, static_argnames=("nb", "max_len", "interpret", "g",
                                    "rec_tile"))
-def _correction_pallas_device(sym2, rec_rows_q, rec_rows_t, rscal, rrow,
-                              slot_qid, qscal, wtab,
-                              nb: int, max_len: int, interpret: bool,
+def _correction_pallas_device(sym2, rec_rows_t, rscal, slot_qid, qscal,
+                              wtab, nb: int, max_len: int, interpret: bool,
                               g: int = G, rec_tile: int = REC_TILE):
     G_, REC_TILE_ = g, rec_tile
-    q_sym = sym2[rec_rows_q].astype(jnp.int8)       # (nb*R, L) row gathers
-    t_sym = sym2[rec_rows_t].astype(jnp.int8)
+    t_sym = sym2[rec_rows_t].astype(jnp.int8)       # (nb*R, L) row gathers
     slot_sym = sym2[slot_qid].astype(jnp.int8)      # (nb*G, L)
     L = max_len
 
@@ -228,17 +240,57 @@ def _correction_pallas_device(sym2, rec_rows_q, rec_rows_t, rscal, rrow,
     packed = pl.pallas_call(
         _make_correction_kernel(G_),
         grid=(nb,),
-        in_specs=[spec((REC_TILE_, L)), spec((REC_TILE_, L)),
-                  spec((REC_TILE_, 8)), spec((8, REC_TILE_)),
+        in_specs=[spec((REC_TILE_, L)), spec((REC_TILE_, 8)),
                   spec((G_, L)), spec((G_, 8)),
                   pl.BlockSpec((48, 16), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)],
-        out_specs=spec((G_ // 2, L)),
-        out_shape=jax.ShapeDtypeStruct((nb * G_ // 2, L), jnp.int8),
+        out_specs=spec((G_ // 4, L)),
+        out_shape=jax.ShapeDtypeStruct((nb * G_ // 4, L), jnp.int8),
         scratch_shapes=[pltpu.VMEM((REC_TILE_, 11 * L), jnp.bfloat16)],
         interpret=interpret,
-    )(q_sym, t_sym, rscal, rrow, slot_sym, qscal, wtab)
+    )(t_sym, rscal, slot_sym, qscal, wtab)
     return packed
+
+
+@jax.jit
+def _derive_corrected_planes(sym2, lengths, packed, src_slot):
+    """Rebuild the corrected shared planes ON DEVICE from the correction
+    kernel's packed 2-bit output: decode the four bit-pair slices into
+    per-slot symbol rows, then row-gather each sequence's corrected row
+    (original row where src_slot < 0: the query had no device slot, so
+    correction left it unchanged).  Lengths are unchanged by correction,
+    so the RC/code planes re-derive as usual — nothing crosses the
+    host<->device tunnel except the tiny src map."""
+    from .rescore_tpu import _assemble_planes
+    nbq, L = packed.shape          # (nb * G//4, L)
+    n = lengths.shape[0]
+    sym_fwd = sym2[:n]
+    slices = [(packed >> (2 * j)) & 3 for j in range(4)]
+    # slot s = b*G+g lands at decoded row (b*(G//4) + g%(G//4))*4 +
+    # g//(G//4); src_slot from the host encodes exactly this index
+    # (_slot_row_index), so the interleave order is self-consistent
+    codes = jnp.concatenate(
+        [s.reshape(-1, 1, L) for s in slices], axis=1).reshape(-1, L)
+    sym = jnp.full(codes.shape, ord("A"), dtype=jnp.uint8)
+    sym = jnp.where(codes == 1, jnp.uint8(ord("C")), sym)
+    sym = jnp.where(codes == 2, jnp.uint8(ord("G")), sym)
+    sym = jnp.where(codes == 3, jnp.uint8(ord("T")), sym)
+    picked = sym[jnp.clip(src_slot, 0, sym.shape[0] - 1)]
+    has_slot = src_slot >= 0
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_len = pos < lengths.astype(jnp.int32)[:, None]
+    new_fwd = jnp.where(has_slot[:, None] & in_len, picked, sym_fwd)
+    return _assemble_planes(new_fwd, lengths)
+
+
+def _slot_row_index(slot_pos, g: int):
+    """Row index of slot `slot_pos` (= block*G + slot) inside the decoded
+    `codes` array of _derive_corrected_planes: the four bit-pair slices
+    of quarter-row r are interleaved at rows 4*r + j."""
+    b = slot_pos // g
+    s = slot_pos % g
+    quarter = g // 4
+    return (b * quarter + (s % quarter)) * 4 + s // quarter
 
 
 def build_correction_blocks(rec, lengths, n_seqs, g: int = G,
@@ -329,7 +381,7 @@ CORR_LEN_LEVELS = (512, 2048)
 
 def _run_correction_level(planes, lens, rec, rows, q_lvl, t_row_lvl,
                           ext_lvl, tlen_lvl, n_lvl, damage, out_flat,
-                          offsets, qid_of, lens_global):
+                          offsets, qid_of, lens_global, sink=None):
     """One length level: pack blocks, run the fused kernel, write the
     corrected bytes of this level's queries into out_flat.  Returns the
     level's heavy query ids (stacks too deep for the record tile),
@@ -355,18 +407,21 @@ def _run_correction_level(planes, lens, rec, rows, q_lvl, t_row_lvl,
 
     _st_scal = subtimer(f"corr.scalars_L{max_len}")
     _st_scal.__enter__()
-    rscal = np.zeros((nb * REC_TILE, 8), dtype=np.int16)
+    # level-dependent scalar dtype: every per-record value is bounded by
+    # the level width (and qslot by G <= 128), so narrow levels ship
+    # uint8 scalars — half the tunnel bytes of int16
+    sdt = np.uint8 if max_len <= 255 and G <= 255 else np.int16
+    rscal = np.zeros((nb * REC_TILE, 8), dtype=sdt)
     rscal[:, 0] = rec_lvl["rec_qstart"][sel]
     rscal[:, 1] = rec_lvl["rec_tstart"][sel]
     rscal[:, 2] = rec_lvl["rec_alen"][sel]
     rscal[:, 3] = tlen_lvl[sel]
     rscal[:, 4] = rec_lvl["rec_ry_smin"][sel]
     rscal[:, 5] = use  # keep_pre already applied by the block builder
-    rrow = blocks["qslot"].astype(np.int8)
-    rrow[:, 1, :] = (rec_lvl["rec_is_rev"][sel]
-                     & use).reshape(nb, REC_TILE).astype(np.int8)
+    rscal[:, 6] = blocks["qslot"][:, 0, :].reshape(nb * REC_TILE)
+    rscal[:, 7] = rec_lvl["rec_is_rev"][sel] & use
 
-    qscal = np.zeros((nb * G, 8), dtype=np.int16)
+    qscal = np.zeros((nb * G, 8), dtype=sdt)
     qscal[:, 0] = np.asarray(lens)[blocks["slot_qid"]]
     qscal[:, 1] = ext_lvl[blocks["slot_qid"]] & blocks["slot_valid"]
 
@@ -385,45 +440,52 @@ def _run_correction_level(planes, lens, rec, rows, q_lvl, t_row_lvl,
     _st_scal.__exit__()
     with subtimer(f"corr.device_L{max_len}"):
         dev_out = _correction_pallas_device(
-            planes["sym"], q_lvl[sel].astype(np.int32),
-            t_row_lvl[sel].astype(np.int32),
-            rscal, rrow.reshape(nb * 8, REC_TILE),
-            blocks["slot_qid"], qscal, wtab,
+            planes["sym"], t_row_lvl[sel].astype(np.int32),
+            rscal, blocks["slot_qid"], qscal, wtab,
             nb=nb, max_len=max_len,
             interpret=jax.default_backend() == "cpu",
             g=G, rec_tile=REC_TILE)
-        dev_out.block_until_ready()
+        dev_out.copy_to_host_async()
+    if sink is not None:
+        sink["dev_out"] = dev_out
+        sink["blocks"] = blocks
+        sink["g"] = G
     with subtimer(f"corr.pull_L{max_len}"):
         packed = np.asarray(dev_out)
 
     from .. import native
     with subtimer(f"corr.unpack_L{max_len}"):
-        nat_ok = native.corr_unpack_scatter(packed, nb, G, max_len,
-                                            blocks["slot_valid"],
-                                            blocks["slot_qid"], qid_of,
-                                            lens_global, offsets, out_flat)
+        nat_ok = native.corr_unpack2_scatter(packed, nb, G, max_len,
+                                             blocks["slot_valid"],
+                                             blocks["slot_qid"], qid_of,
+                                             lens_global, offsets,
+                                             out_flat)
     if nat_ok:
         return qid_of[blocks["heavy_qids"]]
     acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
-    # un-nibble: block row b*G/2+g holds slots g (low) and g+G/2 (high)
-    half = packed.reshape(nb, G // 2, max_len)
-    full = np.concatenate([half & 15, (half >> 4) & 15], axis=1)
+    # un-2-bit: block row b*G/4+g holds slots g, g+G/4, g+2G/4, g+3G/4
+    # in bit pairs 0..3; every position < qlen is written (coverage gate
+    # folded on device; non-ACGT queries never take this path)
+    quarter = packed.reshape(nb, G // 4, max_len)
+    full = np.concatenate([quarter & 3, (quarter >> 2) & 3,
+                           (quarter >> 4) & 3, (quarter >> 6) & 3], axis=1)
     full = full.reshape(nb * G, max_len)
     valid = np.nonzero(blocks["slot_valid"])[0]
     qids_l = blocks["slot_qid"][valid]
     qids_g = qid_of[qids_l]
     posg = np.arange(max_len)
     pv = full[valid]
-    m = (pv >= 4) & (posg[None, :] < lens_global[qids_g][:, None])
+    m = posg[None, :] < lens_global[qids_g][:, None]
     rows_m, cols = np.nonzero(m)
     flat_idx = offsets[qids_g[rows_m]] + cols
-    out_flat[flat_idx] = acgt[pv[rows_m, cols] & 3]
+    out_flat[flat_idx] = acgt[pv[rows_m, cols]]
     return qid_of[blocks["heavy_qids"]]
 
 
 def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
                       corr_reads_ry_seq_id: float, seq_id_thr: float,
-                      planes=None, lengths=None) -> SeqDB:
+                      planes=None, lengths=None,
+                      return_planes: bool = False):
     """Fused-Pallas drop-in for ops.correction_tpu.correction_tpu,
     length-levelled: each query runs in the narrowest device level
     (CORR_LEN_LEVELS) that holds it and every target in its surviving
@@ -453,7 +515,15 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
     offsets = seqdb.offsets.astype(np.int64)
     heavy_all: list[np.ndarray] = []
 
-    done_q = np.zeros(n, dtype=bool)
+    # queries containing any non-ACGT or lowercase character take the
+    # host oracle: the device path's 2-bit pull is exact only when the
+    # unchanged positions round-trip through ACGT[obs] == original byte
+    from .window_pallas import has_non_acgt_flags
+    done_q = has_non_acgt_flags(seqdb).copy()
+    if done_q.any():
+        heavy_all.append(np.nonzero(done_q)[0].astype(np.int64))
+    planes_sink = None
+    non_shared_lvl_ran = False
     for lvl in CORR_LEN_LEVELS:
         if done_q.all():
             break
@@ -464,8 +534,9 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
         rows = np.nonzero(rec["rec_keep_pre"]
                           & in_lvl[rec["rec_q"]])[0]
         qs_lvl = np.nonzero(in_lvl)[0]
-        if lvl == CORR_LEN_LEVELS[0] and planes is not None \
-                and planes["sym"].shape[1] <= bucket_len(lvl):
+        shared_lvl = lvl == CORR_LEN_LEVELS[0] and planes is not None \
+            and planes["sym"].shape[1] <= bucket_len(lvl)
+        if shared_lvl:
             pl_b, len_b = planes, np.asarray(lengths)
             qid_of = np.arange(n, dtype=np.int64)
             q_lvl = rec["rec_q"][rows]
@@ -485,12 +556,17 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
             tr = rec["rec_t_row"][rows]
             t_row_lvl = remap[tr % n] + np.where(tr >= n, n_lvl, 0)
             ext_lvl = seqdb.ext[sub]
+        if not shared_lvl:
+            non_shared_lvl_ran = True
+        sink = {} if (return_planes and shared_lvl) else None
         heavy = _run_correction_level(
             pl_b, len_b, rec, rows, q_lvl, t_row_lvl, ext_lvl,
             lens_all[rec["rec_t_row"][rows] % n], n_lvl, damage,
-            out_flat, offsets, qid_of, lens_all)
+            out_flat, offsets, qid_of, lens_all, sink=sink)
         if len(heavy):
             heavy_all.append(np.asarray(heavy, dtype=np.int64))
+        if sink is not None and sink:
+            planes_sink = sink
 
     rest = np.nonzero(~done_q)[0]
     if len(rest):
@@ -522,6 +598,41 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
             o = offsets[qid]
             Lq = int(seqdb.lengths[qid])
             out_flat[o:o + Lq] = corr_h.seq_bytes(int(qid))
-    return SeqDB.from_flat(out_flat, seqdb.lengths.copy(),
-                           keys=seqdb.keys.copy(), ext=seqdb.ext.copy(),
-                           headers=seqdb.headers)
+    out_db = SeqDB.from_flat(out_flat, seqdb.lengths.copy(),
+                             keys=seqdb.keys.copy(), ext=seqdb.ext.copy(),
+                             headers=seqdb.headers)
+    if not return_planes:
+        return out_db
+    # corrected shared planes, derived on device when every corrected
+    # query ran in the shared level-0 blocks (no heavy/host-corrected
+    # rows that would leave stale plane rows); `None` tells the caller
+    # to fall back to a fresh pack+upload
+    shared_out = None
+    if planes is not None and len(heavy) == 0 and not non_shared_lvl_ran:
+        if planes_sink is not None:
+            blocks = planes_sink["blocks"]
+            g = planes_sink["g"]
+            slot_pos = np.nonzero(blocks["slot_valid"])[0]
+            src = np.full(n, -1, dtype=np.int32)
+            src[blocks["slot_qid"][slot_pos]] = \
+                _slot_row_index(slot_pos, g).astype(np.int32)
+            with _subtimer_planes():
+                derived = _derive_corrected_planes(
+                    planes["sym"], planes["len"],
+                    planes_sink["dev_out"], src)
+            shared_out = {"planes": derived, "lengths": lengths}
+        elif kp.size == 0:
+            # nothing survived the pre-filters anywhere: correction was
+            # the identity, the input planes are still exact
+            shared_out = {"planes": planes, "lengths": lengths}
+    return out_db, shared_out
+
+
+def _subtimer_planes():
+    from ..utils import subtimer
+    return subtimer("corr.derive_planes")
+
+
+# pipeline.nuclassemble checks this to request device-derived corrected
+# planes instead of re-packing + re-uploading them for the extension stage
+correction_pallas.supports_planes_out = True

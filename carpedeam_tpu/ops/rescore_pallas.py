@@ -40,7 +40,12 @@ PAIR_BLOCK = 256
 def _pair_block(max_len: int) -> int:
     """Pairs per grid step, bounded by VMEM (the kernel keeps ~8 int32
     (B, L) intermediates live; wide contig shapes need smaller blocks or
-    Mosaic spills to HBM)."""
+    Mosaic spills to HBM).  Narrow (read-length) planes use big blocks:
+    fewer grid steps amortise the per-step DMA overhead."""
+    if max_len <= 128:
+        return 1024
+    if max_len <= 256:
+        return 512
     if max_len <= 512:
         return PAIR_BLOCK
     if max_len <= 1024:
@@ -73,7 +78,6 @@ def _roll_rows_left(x, shift, n_bits: int, width: int):
 
 
 def _rescore_kernel(qc_ref, tc_ref, qs_ref, ts_ref, meta_ref, out_ref):
-    odt = out_ref.dtype
     B, L = qc_ref.shape
     n_bits = max(1, (L - 1).bit_length())
     diag_u = meta_ref[:, 0:1]
@@ -121,9 +125,7 @@ def _rescore_kernel(qc_ref, tc_ref, qs_ref, ts_ref, meta_ref, out_ref):
     dneg = got & (~use_pos)          # the negative candidate is always < 0
 
     qstart = jnp.where(dneg, start, start + dist)
-    qend = jnp.where(dneg, end, end + dist)
     tstart = jnp.where(dneg, start + dist, start)
-    tend = jnp.where(dneg, end + dist, end)
     aln_len = end - start + 1
 
     # identity count over the winning window (symbol equality, clip(.,0)
@@ -140,33 +142,42 @@ def _rescore_kernel(qc_ref, tc_ref, qs_ref, ts_ref, meta_ref, out_ref):
     id_cnt = jnp.sum(((qw == tw) & (pos < aln_len)).astype(jnp.int32),
                      axis=1, keepdims=True)
 
-    # one packed (B, 5) output = ONE device->host pull; qend/tend are
-    # derivable on the host (start + aln_len - 1 holds for no-hit rows
-    # too: -1 + 1 - 1 == -1), and int16 when the score range allows
-    out_ref[:, 0:1] = best_score.astype(odt)
-    out_ref[:, 1:2] = qstart.astype(odt)
-    out_ref[:, 2:3] = tstart.astype(odt)
-    out_ref[:, 3:4] = aln_len.astype(odt)
-    out_ref[:, 4:5] = id_cnt.astype(odt)
+    # ONE int32 per pair crosses the (slow) device->host link:
+    # score (16 bits, <= 2*16384), id_cnt (15 bits, <= 16384), use_pos
+    # (sign bit).  Coordinates are pure functions of (diag, qlen, tlen,
+    # use_pos, score>0) and are recomputed on the host (unpack_rescore).
+    packed = best_score + (id_cnt << 16)
+    out_ref[:] = jnp.where(use_pos,
+                           packed | jnp.int32(-2147483648), packed)
 
 
 @partial(jax.jit, static_argnames=("max_len", "interpret"))
-def rescore_pairs_pallas(code2, sym2, lengths, qidx, tidx, diag16, is_rev,
-                         max_len: int, interpret: bool = False):
+def rescore_pairs_pallas(code2, sym2, lengths, pairs, max_len: int,
+                         interpret: bool = False):
     """Pallas drop-in for ops.rescore_tpu.rescore_pairs_device.
 
+    `pairs` is ONE (P, 3) int32 host array (a single H2D transfer):
+      col 0: qidx with is_rev packed in the sign bit
+      col 1: tidx
+      col 2: prefilter diagonal (unsigned-short semantics, low 16 bits)
+    Returns (P, 1) int32 packed results (see _rescore_kernel).
+
     Requires max_len % 128 == 0 (bucket_len guarantees this) and the pair
-    count to be a multiple of PAIR_BLOCK (bucket_pairs guarantees this).
+    count to be a multiple of the pair block (bucket_pairs guarantees it).
     """
-    n_pairs = qidx.shape[0]
+    n_pairs = pairs.shape[0]
     B = _pair_block(max_len)
     assert n_pairs % B == 0, n_pairs
     assert max_len % 128 == 0, max_len
     n_seqs = lengths.shape[0]
+    qp = pairs[:, 0]
+    is_rev = qp < 0
+    qidx = qp & 0x7FFFFFFF
+    tidx = pairs[:, 1]
     qlen = lengths[qidx].astype(jnp.int32)
     tlen = lengths[tidx].astype(jnp.int32)
-    qrow = qidx + jnp.where(is_rev, n_seqs, 0).astype(qidx.dtype)
-    diag_u = diag16.astype(jnp.int32) & 0xFFFF
+    qrow = qidx + jnp.where(is_rev, n_seqs, 0)
+    diag_u = pairs[:, 2] & 0xFFFF
 
     # XLA row gathers (embedding-style, fast); values all < 128 so int8
     qc = code2[qrow].astype(jnp.int8)
@@ -185,12 +196,9 @@ def rescore_pairs_pallas(code2, sym2, lengths, qidx, tidx, diag16, is_rev,
         in_specs=[plane_spec, plane_spec, plane_spec, plane_spec,
                   pl.BlockSpec((B, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((B, 5), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((B, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        # scores reach 2*max_len; coords stay < max_len
-        out_shape=jax.ShapeDtypeStruct(
-            (n_pairs, 5),
-            jnp.int16 if max_len <= 8192 else jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_pairs, 1), jnp.int32),
         interpret=interpret,
     )(qc, tc, qs, ts, meta)
     return packed
@@ -199,15 +207,40 @@ def rescore_pairs_pallas(code2, sym2, lengths, qidx, tidx, diag16, is_rev,
 RESCORE_FIELDS = ("score", "qstart", "tstart", "aln_len", "id_cnt")
 
 
-def unpack_rescore(packed_np, lengths, qidx, tidx):
-    """Split the packed kernel output into the field dict (host side;
-    qend/tend and qlen/tlen are recomputed instead of being pulled)."""
-    raw = {name: packed_np[:, i] for i, name in enumerate(RESCORE_FIELDS)}
-    raw["qend"] = raw["qstart"] + raw["aln_len"] - 1
-    raw["tend"] = raw["tstart"] + raw["aln_len"] - 1
-    raw["qlen"] = lengths[qidx].astype(np.int32)
-    raw["tlen"] = lengths[tidx].astype(np.int32)
-    return raw
+def unpack_rescore(packed_np, lengths, qidx, tidx, diag):
+    """Recompute the per-pair field dict from the packed int32 kernel
+    output (host side, vectorised).  Coordinates replay the kernel's
+    candidate-selection arithmetic exactly from (diag, qlen, tlen,
+    use_pos, got); only score/id_cnt/use_pos cross the device->host
+    link."""
+    v = np.ascontiguousarray(packed_np[:, 0]).view(np.uint32)
+    score = (v & 0xFFFF).astype(np.int64)
+    id_cnt = ((v >> 16) & 0x7FFF).astype(np.int64)
+    use_pos = (v >> 31).astype(bool)
+
+    qlen = lengths[qidx].astype(np.int64)
+    tlen = lengths[tidx].astype(np.int64)
+    diag_u = diag.astype(np.int64) & 0xFFFF
+    cand = np.where(use_pos, diag_u, diag_u - 65536)
+    neg = cand < 0
+    dist_c = np.abs(cand)
+    valid = np.where(neg, dist_c < tlen, dist_c < qlen)
+    min_len = np.where(neg, np.minimum(tlen - dist_c, qlen),
+                       np.minimum(tlen, qlen - dist_c))
+    min_len = np.where(valid, min_len, 0)
+
+    got = score > 0
+    start = np.where(got, 0, -1)
+    end = np.where(got, min_len - 1, -1)
+    dist = np.where(got, dist_c, 0)
+    dneg = got & neg
+    qstart = np.where(dneg, start, start + dist)
+    tstart = np.where(dneg, start + dist, start)
+    aln_len = end - start + 1
+    return {"score": score, "qstart": qstart, "tstart": tstart,
+            "aln_len": aln_len, "id_cnt": id_cnt,
+            "qend": qstart + aln_len - 1, "tend": tstart + aln_len - 1,
+            "qlen": qlen, "tlen": tlen}
 
 
 def _use_interpret() -> bool:
@@ -276,27 +309,29 @@ def rescorediagonal_pallas(seqdb, pref, seq_id_thr, eval_thr=0.001,
         with subtimer(f"rescore.pad_lvl{lvl}"):
             m = len(rows)
             mp = bucket_pairs(m)
-            qi = np.zeros(mp, dtype=np.int32)
-            ti = np.zeros(mp, dtype=np.int32)
-            dg = np.zeros(mp, dtype=np.int32)
-            rv = np.zeros(mp, dtype=bool)
-            qi[:m], ti[:m], dg[:m], rv[:m] = q_b, t_b, diag_all[rows], \
-                rev_all[rows]
+            pairs = np.zeros((mp, 3), dtype=np.int32)
+            pairs[:m, 0] = q_b
+            pairs[:m, 0] |= np.where(rev_all[rows], np.int32(-2147483648),
+                                     np.int32(0))
+            pairs[:m, 1] = t_b
+            pairs[:m, 2] = diag_all[rows]
         with subtimer(f"rescore.device_lvl{lvl}"):
+            len_dev = pl_b.get("len")
+            if len_dev is None:
+                len_dev = len_b.astype(np.int32)
             out = rescore_pairs_pallas(pl_b["code"], pl_b["sym"],
-                                       len_b.astype(np.int32), qi, ti, dg,
-                                       rv, max_len=pl_b["code"].shape[1],
+                                       len_dev, pairs,
+                                       max_len=pl_b["code"].shape[1],
                                        interpret=_use_interpret())
             out.block_until_ready()
         with subtimer(f"rescore.pull_lvl{lvl}"):
-            packed = np.asarray(out)[:m].astype(np.int64)
+            packed = np.asarray(out)[:m]
         with subtimer(f"rescore.unpack_lvl{lvl}"):
-            for i, f in enumerate(RESCORE_FIELDS):
-                raw[f][rows] = packed[:, i]
-            raw["qend"][rows] = raw["qstart"][rows] \
-                + raw["aln_len"][rows] - 1
-            raw["tend"][rows] = raw["tstart"][rows] \
-                + raw["aln_len"][rows] - 1
+            sraw = unpack_rescore(packed, seqdb.lengths, qidx_all[rows],
+                                  tidx_all[rows], diag_all[rows])
+            for f in raw:
+                if f not in ("qlen", "tlen"):
+                    raw[f][rows] = sraw[f]
 
     rest = np.nonzero(~done)[0]
     if len(rest):

@@ -151,25 +151,44 @@ def _derive_rc_plane(sym, lengths):
 @jax.jit
 def _assemble_planes(sym_fwd, lengths):
     sym2 = jnp.concatenate([sym_fwd, _derive_rc_plane(sym_fwd, lengths)])
-    return {"code": _derive_code(sym2), "sym": sym2}
+    return {"code": _derive_code(sym2), "sym": sym2,
+            "len": lengths.astype(jnp.int32)}
+
+
+class PlanesPrefetch:
+    """Asynchronous device_planes: the host pack + H2D dispatch happen at
+    construction; the transfer proceeds in the background while the
+    caller does host work (e.g. the kmermatcher), and `get()` finishes
+    the (cheap, on-device) plane derivation.  Through the tunnel this
+    hides the whole upload behind any >=0.2 s host stage."""
+
+    def __init__(self, seqdb, max_len=None, ids=None):
+        from ..utils import subtimer
+        with subtimer("planes.pack_host"):
+            planes, self.lengths = pack_sequences(
+                seqdb, max_len=max_len, ids=ids, fwd_only=True)
+        with subtimer("planes.h2d_dispatch"):
+            self._sym_fwd = jax.device_put(planes["sym"])
+        self._out = None
+
+    def get(self):
+        from ..utils import subtimer
+        if self._out is None:
+            with subtimer("planes.h2d_wait"):
+                self._sym_fwd.block_until_ready()
+            with subtimer("planes.derive_dev"):
+                self._out = _assemble_planes(self._sym_fwd,
+                                             jnp.asarray(self.lengths))
+        return self._out, self.lengths
 
 
 def device_planes(seqdb, max_len=None, ids=None):
     """pack_sequences + upload, transfer-minimised: only the (N, L)
-    FORWARD symbol plane is uploaded; the reverse-complement rows and the
-    code planes derive on device (the tunnel H2D link is the cost here,
-    not HBM bandwidth).  Returns ({"code", "sym"} device arrays, lengths)
-    like callers expect."""
-    from ..utils import subtimer
-    with subtimer("planes.pack_host"):
-        planes, lengths = pack_sequences(seqdb, max_len=max_len, ids=ids,
-                                         fwd_only=True)
-    with subtimer("planes.h2d"):
-        sym_fwd = jax.device_put(planes["sym"])
-        sym_fwd.block_until_ready()
-    with subtimer("planes.derive_dev"):
-        out = _assemble_planes(sym_fwd, jnp.asarray(lengths))
-    return out, lengths
+    FORWARD symbol plane is uploaded; the reverse-complement rows, the
+    code planes and the device lengths derive on device (the tunnel H2D
+    link is the cost here, not HBM bandwidth).  Returns
+    ({"code", "sym", "len"} device arrays, lengths) like callers expect."""
+    return PlanesPrefetch(seqdb, max_len=max_len, ids=ids).get()
 
 
 @partial(jax.jit, static_argnames=("max_len",))

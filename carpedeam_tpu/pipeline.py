@@ -149,23 +149,32 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
     kmermatcher_fn, rescore_fn, correction_fn, wants_planes = \
         _pick_stage_impls(params)
 
-    def _shared_planes(db):
-        """Pack + device_put the sequence planes ONCE per iteration; the
-        rescoring and correction device stages then reuse the same
-        device-resident arrays (the tunnel H2D path is slow enough that a
-        re-upload per stage is measurable)."""
+    def _planes_prefetch(db):
+        """Start the per-iteration plane pack + H2D before the (host)
+        kmermatcher runs; the tunnel transfer overlaps the k-mer scan
+        and `_shared_from` below collects the finished planes."""
         if not wants_planes or not len(db):
-            return {}
-        import jax
-
-        from .ops.rescore_tpu import device_planes
+            return None
+        from .ops.rescore_tpu import PlanesPrefetch
         from .utils import bucket_len
         # plane width is capped at 512: the short-read bulk stays device-
         # resident in every phase; stages route records touching longer
         # sequences to wider per-bucket planes or the host oracles
         max_len = bucket_len(min(512, int(db.lengths.max())))
-        planes, lengths = device_planes(db, max_len=max_len)
+        return PlanesPrefetch(db, max_len=max_len)
+
+    def _shared_from(pf):
+        if pf is None:
+            return {}
+        planes, lengths = pf.get()
         return {"planes": planes, "lengths": lengths}
+
+    def _shared_planes(db):
+        """Pack + device_put the sequence planes ONCE per iteration; the
+        rescoring and correction device stages then reuse the same
+        device-resident arrays (the tunnel H2D path is slow enough that a
+        re-upload per stage is measurable)."""
+        return _shared_from(_planes_prefetch(db))
     from .utils import StageTimer
     timer = StageTimer(log if params.verbosity >= 4 else None)
     cur = reads
@@ -195,6 +204,7 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
             continue
 
         pref = aln = None
+        planes_pf = _planes_prefetch(cur) if dist is None else None
         if dist is not None:
             # Every stage of the iteration distributes: kmermatcher by
             # hash ranges, rescorediagonal by query-record ranges, then
@@ -233,12 +243,13 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                                        params.kmers_per_sequence_scale,
                                        params.include_only_extendable_reads,
                                        params.hash_shift)
-            shared = _shared_planes(cur)
+            shared = _shared_from(planes_pf)
             if aln is None:
                 with timer.time(f"rescorediagonal_{step}"):
                     aln = rescore_fn(cur, pref, params.seq_id_thr,
                                      params.eval_thr, params.aln_len_thr,
                                      **shared)
+            corr_shared = None
             with timer.time(f"correction_{step}"):
                 if dist is not None:
                     from .parallel.driver import dist_apply_by_query_range
@@ -247,13 +258,22 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                         lambda db, a: correction_fn(
                             db, a, damage, params.corr_reads_ry_seq_id,
                             params.seq_id_thr))
+                elif shared and getattr(correction_fn,
+                                        "supports_planes_out", False):
+                    # corrected planes derive on device from the
+                    # correction kernel's own output — no re-pack /
+                    # re-upload for the extension stage
+                    corr, corr_shared = correction_fn(
+                        cur, aln, damage, params.corr_reads_ry_seq_id,
+                        params.seq_id_thr, return_planes=True, **shared)
                 else:
                     corr = correction_fn(cur, aln, damage,
                                          params.corr_reads_ry_seq_id,
                                          params.seq_id_thr, **shared)
             with timer.time(f"read_assembly_{step}"):
-                # extension scores run over the CORRECTED sequences: pack
-                # fresh device planes for them when on the device path
+                # extension scores run over the CORRECTED sequences: the
+                # device-derived corrected planes serve when available,
+                # else pack fresh ones
                 if dist is not None:
                     nxt = dist_apply_by_query_range(
                         dist, step, "ext", corr, aln,
@@ -274,7 +294,9 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                                         params.max_seq_len,
                                         params.ancient_unsafe,
                                         params.min_cov_safe,
-                                        **_shared_planes(corr))
+                                        **(corr_shared if corr_shared
+                                           is not None
+                                           else _shared_planes(corr)))
         else:
             if pref is None:
                 with timer.time(f"kmermatcher_{step}"):
@@ -283,7 +305,7 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                                        params.kmers_per_sequence_scale,
                                        params.include_only_extendable_contigs,
                                        params.hash_shift)
-            shared = _shared_planes(cur)
+            shared = _shared_from(planes_pf)
             if aln is None:
                 with timer.time(f"rescorediagonal_{step}"):
                     aln = rescore_fn(cur, pref, params.corr_contig_seq_id,

@@ -111,13 +111,19 @@ def test_rescore_pallas_raw_outputs_match_xla_kernel(small_world):
     tidx[:n] = [key2id[int(k)] for k in pref.tkey]
     diag[:n] = pref.diag
     is_rev[:n] = pref.score < 0
-    args = (planes["code"], planes["sym"], lengths.astype(np.int32),
-            qidx, tidx, diag, is_rev)
     max_len = planes["code"].shape[1]
-    a = rescore_pairs_device(*args, max_len=max_len)
-    packed = np.asarray(rescore_pairs_pallas(*args, max_len=max_len,
-                                             interpret=True))
-    b = unpack_rescore(packed, lengths, qidx, tidx)
+    a = rescore_pairs_device(planes["code"], planes["sym"],
+                             lengths.astype(np.int32), qidx, tidx, diag,
+                             is_rev, max_len=max_len)
+    pairs = np.zeros((pad, 3), np.int32)
+    pairs[:, 0] = qidx | np.where(is_rev, np.int32(-2147483648),
+                                  np.int32(0))
+    pairs[:, 1] = tidx
+    pairs[:, 2] = diag
+    packed = np.asarray(rescore_pairs_pallas(
+        planes["code"], planes["sym"], lengths.astype(np.int32), pairs,
+        max_len=max_len, interpret=True))
+    b = unpack_rescore(packed, db.lengths, qidx, tidx, diag)
     for k in a:
         assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
 
@@ -138,6 +144,38 @@ def test_correction_pallas_matches_oracle(small_world, damage_model):
     diffs = [i for i in range(len(db))
              if bytes(ora.seq_bytes(i)) != bytes(dev.seq_bytes(i))]
     assert diffs == []
+
+
+def test_correction_pallas_derived_planes_match_fresh_pack(small_world,
+                                                           damage_model):
+    """return_planes=True must hand back corrected planes identical to a
+    fresh pack+upload of the corrected SeqDB (the pipeline substitutes
+    them for the extension stage's plane build)."""
+    import numpy as np
+
+    import carpedeam_tpu.ops.correction_pallas as CP
+    from carpedeam_tpu.ops.rescore_tpu import device_planes
+    from carpedeam_tpu.utils import bucket_len
+
+    db, _, aln = small_world
+    max_len = bucket_len(min(512, int(db.lengths.max())))
+    planes, lengths = device_planes(db, max_len=max_len)
+    old = CP.NB_BUCKET
+    CP.NB_BUCKET = 4
+    try:
+        dev, shared = CP.correction_pallas(db, aln, damage_model, 0.99,
+                                           0.9, planes=planes,
+                                           lengths=lengths,
+                                           return_planes=True)
+    finally:
+        CP.NB_BUCKET = old
+    assert shared is not None, "shared planes must derive on this input"
+    fresh, fresh_len = device_planes(dev, max_len=max_len)
+    assert np.array_equal(np.asarray(shared["lengths"]),
+                          np.asarray(fresh_len))
+    for k in ("sym", "code", "len"):
+        assert np.array_equal(np.asarray(shared["planes"][k]),
+                              np.asarray(fresh[k])), k
 
 
 def test_correction_pallas_heavy_queries_host_fallback(small_world,

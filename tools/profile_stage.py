@@ -40,8 +40,14 @@ def main():
     print(f"backend={jax.default_backend()} reads={len(db)} "
           f"residues={int(db.lengths.sum())}")
 
+    from carpedeam_tpu.ops.rescore_tpu import PlanesPrefetch
+
     for rep in range(int(os.environ.get("CARPEDEAM_PROFILE_REPS", "2"))):
         print(f"--- rep {rep} ---")
+        pf = None
+        if wants_planes:
+            pf = PlanesPrefetch(db, max_len=bucket_len(
+                min(512, int(db.lengths.max()))))
         pref = t("kmermatcher", km_fn, db, params.kmer_size_reads,
                  params.kmers_per_sequence,
                  params.kmers_per_sequence_scale,
@@ -50,26 +56,36 @@ def main():
         shared = {}
         if wants_planes:
             def mk():
-                max_len = bucket_len(min(512, int(db.lengths.max())))
-                planes, lengths = device_planes(db, max_len=max_len)
+                planes, lengths = pf.get()
                 jax.block_until_ready(list(planes.values()))
                 return {"planes": planes, "lengths": lengths}
-            shared = t("pack+upload planes", mk)
+            shared = t("collect prefetched planes", mk)
         aln = t("rescorediagonal TOTAL", rescore_fn, db, pref,
                 params.seq_id_thr, params.eval_thr, params.aln_len_thr,
                 **shared)
         print(f"  aln records: {len(aln.qkey)}")
-        corr = t("correction TOTAL", correction_fn, db, aln, dm,
-                 params.corr_reads_ry_seq_id, params.seq_id_thr, **shared)
+        if shared and getattr(correction_fn, "supports_planes_out",
+                              False):
+            corr, shared2 = t("correction TOTAL (planes out)",
+                              correction_fn, db, aln, dm,
+                              params.corr_reads_ry_seq_id,
+                              params.seq_id_thr, return_planes=True,
+                              **shared)
+        else:
+            corr = t("correction TOTAL", correction_fn, db, aln, dm,
+                     params.corr_reads_ry_seq_id, params.seq_id_thr,
+                     **shared)
+            shared2 = None
         from carpedeam_tpu.stages.read_assembly import read_assembly
-        shared2 = {}
-        if wants_planes:
-            def mk2():
-                max_len = bucket_len(min(512, int(corr.lengths.max())))
-                planes, lengths = device_planes(corr, max_len=max_len)
-                jax.block_until_ready(list(planes.values()))
-                return {"planes": planes, "lengths": lengths}
-            shared2 = t("pack+upload planes (corr)", mk2)
+        if shared2 is None:
+            shared2 = {}
+            if wants_planes:
+                def mk2():
+                    max_len = bucket_len(min(512, int(corr.lengths.max())))
+                    planes, lengths = device_planes(corr, max_len=max_len)
+                    jax.block_until_ready(list(planes.values()))
+                    return {"planes": planes, "lengths": lengths}
+                shared2 = t("pack+upload planes (corr)", mk2)
         t("read_assembly TOTAL", read_assembly, corr, aln, dm,
           params.seq_id_thr, params.ry_seq_id_thr,
           params.likelihood_threshold, params.random_align_penal,
