@@ -82,3 +82,23 @@ def evalue(score, seq_len, db_res_count):
     """K*exp(-lambda*S) * area  (EvalueComputation::computeEvalue)."""
     y = np.asarray(score, dtype=np.float64)
     return K * np.exp(-LAMBDA * y) * area(y, seq_len, db_res_count)
+
+
+def evalue_grouped(score, seq_len, db_res_count):
+    """evalue() computed once per distinct (score, seq_len) pair and
+    scattered back — bit-identical (same math.erfc path), but the
+    dominant cost (the scalar erfc under np.vectorize) runs on the few
+    thousand unique pairs instead of every alignment record."""
+    s = np.asarray(score, dtype=np.int64)
+    m = np.asarray(seq_len, dtype=np.int64)
+    if s.size == 0:
+        return np.zeros(0, dtype=np.float64)
+    if s.min() < 0 or m.min() < 0 or s.max() >= (1 << 40) \
+            or m.max() >= (1 << 24):
+        return evalue(score, seq_len, db_res_count)  # cannot pack: exact path
+    key = (s << 24) | m
+    uniq, inv = np.unique(key, return_inverse=True)
+    ev_u = evalue((uniq >> 24).astype(np.float64),
+                  (uniq & ((1 << 24) - 1)).astype(np.float64),
+                  db_res_count)
+    return ev_u[inv]

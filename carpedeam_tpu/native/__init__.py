@@ -20,7 +20,8 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SOURCES = ["kmer_select.cpp", "host_kernels.cpp", "prepass.cpp",
-            "kmer_pairs.cpp", "banded.cpp", "linclust_kernels.cpp"]
+            "kmer_pairs.cpp", "banded.cpp", "linclust_kernels.cpp",
+            "greedy.cpp"]
 _LOCK = threading.Lock()
 _LIB = None
 _BUILD_FAILED = False
@@ -130,6 +131,21 @@ def get_lib():
             _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             _u8p, _i32p, _i64p, _i64p, _i64p, _u8p]
         lib.corr_unpack2_scatter.restype = None
+        _f64 = ctypes.c_double
+        lib.greedy_read_rounds.argtypes = [
+            _u8p, _i64p, _i64p, _u32p, ctypes.c_int64, _i64p, _i64p,
+            _i64p, _u32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+            _f64p, _f64p, _f64p, _f64p, _u8p, _i64p, _i64p, _f64p,
+            _f64, _f64, _f64, _f64, ctypes.c_int64,
+            _u8p, _i64p, _i64p]
+        lib.greedy_read_rounds.restype = None
+        lib.greedy_contig_rounds.argtypes = [
+            _u8p, _i64p, _i64p, _u32p, ctypes.c_int64, _i64p, _i64p,
+            _i64p, _u32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+            _f64p, _f64p, _f64p, _i64p, _u8p, _u8p,
+            _f64, _f64, ctypes.c_int64,
+            _u8p, _i64p, _i64p]
+        lib.greedy_contig_rounds.restype = None
         lib.sort_kmer_entries.argtypes = [_u64p, _i64p, _i32p, _i32p,
                                           ctypes.c_int64, _i64p]
         lib.sort_kmer_entries.restype = None
@@ -564,3 +580,96 @@ def pack_planes(data, offsets, lengths, ids, max_len: int):
         _as(ids, np.int64, _i64p) if ids is not None else None,
         n, max_len, *(o.ctypes.data_as(_u8p) for o in out))
     return out
+
+
+def greedy_read_rounds(seqdb, q_ids, row_ptr, rows, max_left, max_right,
+                       logm, seq_id_thr, lik_thr, log_rand, log_excess,
+                       max_seq_len):
+    """Native greedy splice rounds for read-phase extension (see
+    native/greedy.cpp; oracle: stages/read_assembly.py per-query loop).
+    `rows` is a dict of per-candidate arrays; returns (arena, arena_off,
+    out_len) or None if no native lib."""
+    import ctypes
+    lib = get_lib()
+    if lib is None:
+        return None
+    nq = len(q_ids)
+    cnt = row_ptr[1:] - row_ptr[:-1]
+    tl64 = rows["tl"].astype(np.int64)
+    cap = np.minimum(seqdb.lengths[q_ids].astype(np.int64)
+                     + np.add.reduceat(tl64, row_ptr[:-1],
+                                       axis=0) * (cnt > 0),
+                     max_seq_len) if len(tl64) else \
+        np.minimum(seqdb.lengths[q_ids].astype(np.int64), max_seq_len)
+    arena_off = np.concatenate([[0], np.cumsum(cap)]).astype(np.int64)
+    arena = np.zeros(int(arena_off[-1]), dtype=np.uint8)
+    out_len = np.zeros(nq, dtype=np.int64)
+    _f64p2 = ctypes.POINTER(ctypes.c_double)
+    lib.greedy_read_rounds(
+        _as(seqdb.data, np.uint8, _u8p),
+        _as(seqdb.offsets, np.int64, _i64p),
+        _as(seqdb.lengths, np.int64, _i64p),
+        _as(seqdb.keys, np.uint32, ctypes.POINTER(ctypes.c_uint32)),
+        nq, _as(q_ids, np.int64, _i64p), _as(row_ptr, np.int64, _i64p),
+        _as(rows["tid"], np.int64, _i64p),
+        _as(rows["tkey"], np.uint32, ctypes.POINTER(ctypes.c_uint32)),
+        _as(rows["qs"], np.int32, _i32p), _as(rows["qe"], np.int32, _i32p),
+        _as(rows["ts"], np.int32, _i32p), _as(rows["te"], np.int32, _i32p),
+        _as(rows["tl"], np.int32, _i32p),
+        _as(rows["alen"], np.int32, _i32p),
+        _as(rows["seq_id"], np.float64, _f64p2),
+        _as(rows["ry"], np.float64, _f64p2),
+        _as(rows["sln"], np.float64, _f64p2),
+        _as(rows["sratio"], np.float64, _f64p2),
+        _as(rows["qok"], np.uint8, _u8p),
+        _as(max_left, np.int64, _i64p), _as(max_right, np.int64, _i64p),
+        _as(logm, np.float64, _f64p2),
+        float(np.float32(seq_id_thr)), float(lik_thr),
+        float(log_rand), float(log_excess), int(max_seq_len),
+        arena.ctypes.data_as(_u8p), arena_off.ctypes.data_as(_i64p),
+        out_len.ctypes.data_as(_i64p))
+    return arena, arena_off, out_len
+
+
+def greedy_contig_rounds(seqdb, q_ids, row_ptr, rows, merge_thr, ry_thr,
+                         max_seq_len):
+    """Native greedy rounds for contig-phase merging (Beta-posterior
+    queue; oracle: stages/contig_merge.py per-query loop)."""
+    import ctypes
+    lib = get_lib()
+    if lib is None:
+        return None
+    nq = len(q_ids)
+    cnt = row_ptr[1:] - row_ptr[:-1]
+    tl64 = rows["tl"].astype(np.int64)
+    cap = np.minimum(seqdb.lengths[q_ids].astype(np.int64)
+                     + (np.add.reduceat(tl64, row_ptr[:-1], axis=0)
+                        * (cnt > 0) if len(tl64) else 0),
+                     max_seq_len)
+    arena_off = np.concatenate([[0], np.cumsum(cap)]).astype(np.int64)
+    arena = np.zeros(int(arena_off[-1]), dtype=np.uint8)
+    out_len = np.zeros(nq, dtype=np.int64)
+    _f64p2 = ctypes.POINTER(ctypes.c_double)
+    lib.greedy_contig_rounds(
+        _as(seqdb.data, np.uint8, _u8p),
+        _as(seqdb.offsets, np.int64, _i64p),
+        _as(seqdb.lengths, np.int64, _i64p),
+        _as(seqdb.keys, np.uint32, ctypes.POINTER(ctypes.c_uint32)),
+        nq, _as(q_ids, np.int64, _i64p), _as(row_ptr, np.int64, _i64p),
+        _as(rows["tid"], np.int64, _i64p),
+        _as(rows["tkey"], np.uint32, ctypes.POINTER(ctypes.c_uint32)),
+        _as(rows["qs"], np.int32, _i32p), _as(rows["qe"], np.int32, _i32p),
+        _as(rows["ts"], np.int32, _i32p), _as(rows["te"], np.int32, _i32p),
+        _as(rows["tl"], np.int32, _i32p),
+        _as(rows["alen"], np.int32, _i32p),
+        _as(rows["seq_id"], np.float64, _f64p2),
+        _as(rows["ry"], np.float64, _f64p2),
+        _as(rows["deam"], np.float64, _f64p2),
+        _as(rows["alc"], np.int64, _i64p),
+        _as(rows["is_rev"], np.uint8, _u8p),
+        _as(rows["qok"], np.uint8, _u8p),
+        float(np.float32(merge_thr)), float(np.float32(ry_thr)),
+        int(max_seq_len),
+        arena.ctypes.data_as(_u8p), arena_off.ctypes.data_as(_i64p),
+        out_len.ctypes.data_as(_i64p))
+    return arena, arena_off, out_len

@@ -171,6 +171,48 @@ def _ancient_match_count(c: _Cand, consensus: np.ndarray, query_len: int,
         + m_ct + m_ga
 
 
+def _native_greedy_contigs(seqdb, aln, pre, iter_ids, qi_arr, cand_rows,
+                           cand_ptr, merge_seq_id_thr, ry_seq_id_thr,
+                           max_seq_len):
+    """Native greedy merge rounds (native/greedy.cpp, Beta-posterior
+    queue); returns the `replaced` dict or None without the native lib
+    (the Python per-query loop below is the oracle)."""
+    from .. import native
+    from .read_assembly import _flatten_ranges
+
+    if native.get_lib() is None:
+        return None
+    qi = qi_arr[iter_ids]
+    row_ptr, flat = _flatten_ranges(cand_ptr[qi], cand_ptr[qi + 1])
+    row_idx = cand_rows[flat]
+    tid_all = seqdb.lookup_keys(aln.cols["tkey"]).astype(np.int64)
+    rows = {
+        "tid": tid_all[row_idx],
+        "tkey": aln.cols["tkey"][row_idx].astype(np.uint32),
+        "qs": pre["qs"][row_idx].astype(np.int32),
+        "qe": pre["qe"][row_idx].astype(np.int32),
+        "ts": pre["ts"][row_idx].astype(np.int32),
+        "te": pre["te"][row_idx].astype(np.int32),
+        "tl": aln.cols["dblen"][row_idx].astype(np.int32),
+        "alen": aln.aln_len[row_idx].astype(np.int32),
+        "seq_id": pre["seq_id"][row_idx].astype(np.float64),
+        "ry": pre["ry_seq_id"][row_idx].astype(np.float64),
+        "deam": pre["deam_match"][row_idx].astype(np.float64),
+        "alc": pre["aln_len_cons"][row_idx].astype(np.int64),
+        "is_rev": pre["is_rev"][row_idx].astype(np.uint8),
+        "qok": pre["queue_ok"][row_idx].astype(np.uint8),
+    }
+    out = native.greedy_contig_rounds(
+        seqdb, iter_ids.astype(np.int64), row_ptr, rows,
+        merge_seq_id_thr, ry_seq_id_thr, max_seq_len)
+    if out is None:
+        return None
+    arena, arena_off, out_len = out
+    hit = np.nonzero(out_len > 0)[0]
+    return {int(iter_ids[j]): arena[arena_off[j]:arena_off[j]
+                                    + out_len[j]].tobytes() for j in hit}
+
+
 def contig_merge(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
                  merge_seq_id_thr: float, ry_seq_id_thr: float,
                  max_seq_len: int, unsafe: bool = False,
@@ -194,21 +236,52 @@ def contig_merge(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
     out_seqs: list[bytes] = []
     out_ext: list[bool] = []
 
-    for i in range(len(seqdb)):
+    # pre mode iterates ONLY queries owning a surviving candidate (the
+    # reference's early `candidates.empty()` exits, paid once vectorised);
+    # untouched records splice back with whole-range memcpys.
+    replaced: dict[int, bytes] = {}
+    if pre is not None:
+        from .read_assembly import splice_replaced
+        cand_rows = np.nonzero(pre["cand"])[0]
+        cand_ptr = np.searchsorted(cand_rows, aln.starts)
+        n_aln = len(aln.qkeys)
+        amap = np.full((int(aln.qkeys.max()) + 1 if n_aln else 1),
+                       -1, dtype=np.int64)
+        if n_aln:
+            amap[aln.qkeys.astype(np.int64)] = np.arange(n_aln)
+        keys64 = seqdb.keys.astype(np.int64)
+        qi_arr = np.where(keys64 < len(amap),
+                          amap[np.minimum(keys64, len(amap) - 1)], -1)
+        ncand = np.zeros(len(seqdb), dtype=np.int64)
+        v = qi_arr >= 0
+        ncand[v] = cand_ptr[qi_arr[v] + 1] - cand_ptr[qi_arr[v]]
+        iter_ids = np.nonzero(ncand > 0)[0]
+        import os as _os
+        if len(iter_ids) \
+                and _os.environ.get("CARPEDEAM_GREEDY_NATIVE", "1") != "0":
+            rep = _native_greedy_contigs(seqdb, aln, pre, iter_ids, qi_arr,
+                                         cand_rows, cand_ptr,
+                                         merge_seq_id_thr, ry_seq_id_thr,
+                                         max_seq_len)
+            if rep is not None:
+                return splice_replaced(seqdb, rep)
+    else:
+        iter_ids = range(len(seqdb))
+
+    for i in iter_ids:
         qkey = int(seqdb.keys[i])
         qseq = np.array(seqdb.seq_bytes(i), dtype=np.uint8)
         L = int(seqdb.lengths[i])
-        qi = aln_by_key.get(qkey)
+        qi = int(qi_arr[i]) if pre is not None else aln_by_key.get(qkey)
         sl = aln.records_for(qi) if qi is not None else slice(0, 0)
 
         if pre is not None:
-            # ---- batched fast path -------------------------------------
+            # ---- batched fast path (Python oracle for the native
+            # engine; same records, same order) ---------------------------
             cands = []
             tgt_bytes = {}
             queue = CppPriorityQueue(_beta_less)
-            for r in range(sl.start, sl.stop):
-                if not pre["cand"][r]:
-                    continue
+            for r in cand_rows[cand_ptr[qi]:cand_ptr[qi + 1]]:
                 tkey = int(aln.cols["tkey"][r])
                 is_rev = bool(pre["is_rev"][r])
                 c = _Cand(tkey, int(pre["qs"][r]), int(pre["qe"][r]), L,
@@ -227,8 +300,6 @@ def contig_merge(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
                     c.deam_match = float(pre["deam_match"][r])
                     queue.push(c)
             if not cands:
-                out_seqs.append(qseq.tobytes())
-                out_ext.append(bool(seqdb.ext[i]))
                 continue
             query = qseq.copy()
             qlen_cur = L
@@ -380,13 +451,19 @@ def contig_merge(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
                         and c.ry_seq_id >= np.float32(ry_seq_id_thr):
                     queue.push(c)
 
-        if could_extend:
+        if pre is not None:
+            if could_extend:
+                replaced[i] = query.tobytes()
+        elif could_extend:
             out_seqs.append(query.tobytes())
             out_ext.append(True)
         else:
             out_seqs.append(qseq.tobytes())
             out_ext.append(bool(seqdb.ext[i]))
 
+    if pre is not None:
+        from .read_assembly import splice_replaced
+        return splice_replaced(seqdb, replaced)
     return SeqDB.from_sequences(out_seqs, keys=seqdb.keys.copy(),
                                 ext=np.array(out_ext, dtype=bool),
                                 headers=seqdb.headers)

@@ -265,7 +265,7 @@ def align_filter(seqdb: SeqDB, pref: PrefDB, seq_id_thr: float,
     def passes(sid, n_q, n_t, sc):
         qcov = n_q.astype(np.float32) / L.astype(np.float32)
         tcov = n_t.astype(np.float32) / tlen.astype(np.float32)
-        e = ev.evalue(sc.astype(np.float64), L.astype(np.float64), db_res)
+        e = ev.evalue_grouped(sc, L, db_res)
         return _cov_ok(qcov, tcov, cov32, cov_mode) & (sid >= thr32) \
             & (e <= eval_thr)
 

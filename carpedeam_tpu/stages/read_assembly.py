@@ -25,6 +25,8 @@ Faithfully replicated reference details:
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..aligndb import AlnDB
@@ -105,6 +107,60 @@ def _ungapped_realign(query: np.ndarray, target: np.ndarray, diag: int):
     return score, 0, n - 1, n, dist
 
 
+def _flatten_ranges(starts, ends):
+    """Vectorised concatenation of [starts[j], ends[j]) index ranges."""
+    cnt = ends - starts
+    ptr = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int64)
+    total = int(ptr[-1])
+    idx = np.repeat(starts - ptr[:-1], cnt) + np.arange(total,
+                                                        dtype=np.int64)
+    return ptr, idx
+
+
+def _native_greedy_reads(seqdb, aln, pre, iter_ids, qi_arr, cand_rows,
+                         cand_ptr, logm_fwd, seq_id_thr, likelihood_thr,
+                         rand_aln_penal, excess_penal, max_seq_len):
+    """Run the greedy splice rounds in native C++ (native/greedy.cpp).
+    Returns the `replaced` dict or None when the native lib is missing
+    (the Python per-query loop below is the oracle)."""
+    from .. import native
+
+    if native.get_lib() is None:
+        return None
+    qi = qi_arr[iter_ids]
+    row_ptr, flat = _flatten_ranges(cand_ptr[qi], cand_ptr[qi + 1])
+    row_idx = cand_rows[flat]
+    tid_all = seqdb.lookup_keys(aln.cols["tkey"]).astype(np.int64)
+    rows = {
+        "tid": tid_all[row_idx],
+        "tkey": aln.cols["tkey"][row_idx].astype(np.uint32),
+        "qs": aln.cols["qstart"][row_idx].astype(np.int32),
+        "qe": aln.cols["qend"][row_idx].astype(np.int32),
+        "ts": aln.cols["dbstart"][row_idx].astype(np.int32),
+        "te": aln.cols["dbend"][row_idx].astype(np.int32),
+        "tl": aln.cols["dblen"][row_idx].astype(np.int32),
+        "alen": aln.aln_len[row_idx].astype(np.int32),
+        "seq_id": pre["seq_id"][row_idx].astype(np.float64),
+        "ry": pre["ry_seq_id"][row_idx].astype(np.float64),
+        "sln": pre["s_len_norm"][row_idx].astype(np.float64),
+        "sratio": pre["s_ratio"][row_idx].astype(np.float64),
+        "qok": pre["queue_ok"][row_idx].astype(np.uint8),
+    }
+    out = native.greedy_read_rounds(
+        seqdb, iter_ids.astype(np.int64), row_ptr, rows,
+        pre["max_left"][iter_ids].astype(np.int64),
+        pre["max_right"][iter_ids].astype(np.int64),
+        np.ascontiguousarray(logm_fwd, dtype=np.float64),
+        seq_id_thr, likelihood_thr, float(np.log(rand_aln_penal)),
+        float(np.log(excess_penal)), max_seq_len)
+    if out is None:
+        return None
+    arena, arena_off, out_len = out
+    hit = np.nonzero(out_len > 0)[0]
+    return {int(iter_ids[j]): arena[arena_off[j]:arena_off[j]
+                                    + out_len[j]].tobytes() for j in hit}
+
+
 def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
                   seq_id_thr: float, ry_seq_id_thr: float,
                   likelihood_thr: float, rand_aln_penal: float,
@@ -179,6 +235,16 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
 
     _st_greedy = subtimer("ext.greedy_loop")
     _st_greedy.__enter__()
+    if pre is not None and len(iter_ids) \
+            and os.environ.get("CARPEDEAM_GREEDY_NATIVE", "1") != "0":
+        rep = _native_greedy_reads(seqdb, aln, pre, iter_ids, qi_arr,
+                                   cand_rows, cand_ptr, logm_fwd,
+                                   seq_id_thr, likelihood_thr,
+                                   rand_aln_penal, excess_penal,
+                                   max_seq_len)
+        if rep is not None:
+            replaced = rep
+            iter_ids = np.zeros(0, dtype=np.int64)
     for i in iter_ids:
         qkey = int(seqdb.keys[i])
         qi = int(qi_arr[i]) if pre is not None else aln_by_key.get(qkey)
@@ -418,12 +484,20 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
         return SeqDB.from_sequences(out_seqs, keys=seqdb.keys.copy(),
                                     ext=np.array(out_ext, dtype=bool),
                                     headers=seqdb.headers)
+    return splice_replaced(seqdb, replaced)
 
-    # ---- splice replaced records into a fresh CSR store -----------------
+
+def splice_replaced(seqdb: SeqDB, replaced: dict[int, bytes]) -> SeqDB:
+    """Build the output DB by splicing the extended records into the
+    input CSR store (untouched records copy through in whole-range
+    memcpys; `replaced` rows get new bytes and ext=True)."""
     n = len(seqdb)
+    offsets_all = seqdb.offsets
+    lengths_all = seqdb.lengths
+    data_flat = seqdb.data
     total_in = int(offsets_all[-1] + lengths_all[-1]) if n else 0
     new_lengths = lengths_all.astype(np.int64).copy()
-    new_ext = ext_flags.copy()
+    new_ext = seqdb.ext.copy()
     parts: list[np.ndarray] = []
     prev = 0  # flat offset of the first byte not yet emitted
     for i in sorted(replaced):

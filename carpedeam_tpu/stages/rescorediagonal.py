@@ -176,8 +176,7 @@ def assemble_alndb(seqdb: SeqDB, pref: PrefDB, raw: dict, seq_id_thr: float,
     tlen = raw["tlen"].astype(np.int64)
 
     # ---- statistics ------------------------------------------------------
-    evals = ev.evalue(best_score.astype(np.float64), qlen.astype(np.float64),
-                      db_res)
+    evals = ev.evalue_grouped(best_score, qlen, db_res)
     bits = ev.bit_score_int(best_score.astype(np.float64))
     is_identity = qid == tid
 
