@@ -80,6 +80,18 @@ class Params:
     def copy(self, **overrides) -> "Params":
         return dataclasses.replace(self, **overrides)
 
+    def hash(self, *extra) -> str:
+        """Parameter fingerprint keying checkpoint/tmp directories, the
+        par.hashParameter analogue (GuidedNuclassembler.cpp:106-110 names
+        the tmp dir by it so a changed flag can never resume stale
+        stages).  `extra` folds in input identity (e.g. read counts)."""
+        import hashlib
+        items = [(f.name, getattr(self, f.name))
+                 for f in dataclasses.fields(self)
+                 if f.name != "use_device"]  # impl choice, not semantics
+        text = repr(items) + "|" + repr(extra)
+        return hashlib.sha1(text.encode()).hexdigest()[:16]
+
     def validate(self) -> "Params":
         """Typed range validation of every flag (the reference validates
         each parameter against a per-flag regex at parse time and exits
@@ -103,17 +115,28 @@ class Params:
                 bad(f, "must be a non-negative integer")
         for f in ("kmer_size", "kmer_size_reads", "kmer_size_contigs"):
             v = getattr(self, f)
-            if not isinstance(v, int) or not 6 <= v <= 32:
-                bad(f, "k-mer size must be in [6, 32] (2-bit packed u64)")
+            # k <= 31: 2*31 = 62 content bits leave bit 63 free for the
+            # canonical-strand flag in the packed u64 k-mer encoding
+            # (native kmer_extract / kmermatcher_scan); k = 32 would
+            # collide strand with content and corrupt grouping
+            if not isinstance(v, int) or not 6 <= v <= 31:
+                bad(f, "k-mer size must be in [6, 31] (2-bit packed u64 "
+                       "with the strand flag in bit 63)")
         for f in ("seq_id_thr", "merge_seq_id_thr", "ry_seq_id_thr",
                   "corr_reads_ry_seq_id", "corr_reads_seq_id",
                   "corr_contig_seq_id", "cov_thr", "clust_seq_id_thr",
-                  "clust_cov_thr", "likelihood_threshold",
-                  "random_align_penal", "excess_penal",
-                  "kmers_per_sequence_scale"):
+                  "clust_cov_thr", "likelihood_threshold"):
             v = getattr(self, f)
             if not 0.0 <= float(v) <= 1.0:
                 bad(f, "must be in [0.0, 1.0]")
+        # the reference attaches no validation regex to these
+        # (LocalParameters.h), so only reject values the math cannot
+        # take (log of a non-positive penalty / negative sampling scale)
+        for f in ("random_align_penal", "excess_penal"):
+            if not float(getattr(self, f)) > 0.0:
+                bad(f, "must be > 0.0")
+        if float(self.kmers_per_sequence_scale) < 0.0:
+            bad("kmers_per_sequence_scale", "must be >= 0.0")
         if self.eval_thr < 0:
             bad("eval_thr", "must be >= 0")
         if self.num_iterations_reads > self.num_iterations:

@@ -144,6 +144,14 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
     """
     if dist is not None and not tmp_dir:
         raise ValueError("distributed mode requires a shared tmp_dir")
+    if tmp_dir:
+        # key the checkpoint dir by the parameter + input fingerprint
+        # (par.hashParameter, GuidedNuclassembler.cpp:106-110): re-running
+        # with ANY changed flag or different input lands in a fresh
+        # subdirectory and can never resume stale stage results
+        tmp_dir = os.path.join(
+            tmp_dir, "p" + params.hash(len(reads),
+                                       int(reads.lengths.sum())))
     ck = Checkpointer(tmp_dir)
     log = progress or (lambda *_: None)
     kmermatcher_fn, rescore_fn, correction_fn, wants_planes = \

@@ -13,6 +13,9 @@ def test_defaults_validate():
 @pytest.mark.parametrize("field,value", [
     ("seq_id_thr", 1.7), ("seq_id_thr", -0.1),
     ("kmer_size_reads", 40), ("kmer_size_reads", 2),
+    ("kmer_size_reads", 32),            # strand flag needs bit 63 free
+    ("random_align_penal", 0.0), ("excess_penal", -0.5),
+    ("kmers_per_sequence_scale", -0.1),
     ("num_iterations", 0), ("threads", 0),
     ("num_iterations_reads", 99),       # > num_iterations
     ("eval_thr", -1.0), ("use_device", "gpu"),
