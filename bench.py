@@ -117,11 +117,18 @@ def main():
                          params.aln_len_thr, **shared)
         t2 = time.perf_counter()
         corr_shared = None
+        ext_pro = None
         if shared and getattr(correction_fn, "supports_planes_out",
                               False):
-            corr, corr_shared = correction_fn(
+            corr_fin, corr_shared = correction_fn(
                 db, aln, dm, params.corr_reads_ry_seq_id,
-                params.seq_id_thr, return_planes=True, **shared)
+                params.seq_id_thr, return_planes=True, defer=True,
+                **shared)
+            if corr_shared is not None:
+                from carpedeam_tpu.ops.extension_batch import ext_prologue
+                ext_pro = ext_prologue(db, aln, corr_shared["planes"],
+                                       corr_shared["lengths"])
+            corr = corr_fin()
         else:
             corr = correction_fn(db, aln, dm,
                                  params.corr_reads_ry_seq_id,
@@ -131,7 +138,7 @@ def main():
                       params.ry_seq_id_thr, params.likelihood_threshold,
                       params.random_align_penal, params.excess_penal,
                       params.max_seq_len, params.ancient_unsafe,
-                      params.min_cov_safe,
+                      params.min_cov_safe, prologue=ext_pro,
                       **(corr_shared if corr_shared is not None
                          else planes_for(corr)))
         t4 = time.perf_counter()

@@ -131,6 +131,9 @@ def get_lib():
             _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             _u8p, _i32p, _i64p, _i64p, _i64p, _u8p]
         lib.corr_unpack2_scatter.restype = None
+        lib.seq_non_acgt_flags.argtypes = [_u8p, _i64p, _i64p,
+                                           ctypes.c_int64, _u8p]
+        lib.seq_non_acgt_flags.restype = None
         _f64 = ctypes.c_double
         lib.greedy_read_rounds.argtypes = [
             _u8p, _i64p, _i64p, _u32p, ctypes.c_int64, _i64p, _i64p,
@@ -673,3 +676,19 @@ def greedy_contig_rounds(seqdb, q_ids, row_ptr, rows, merge_thr, ry_thr,
         arena.ctypes.data_as(_u8p), arena_off.ctypes.data_as(_i64p),
         out_len.ctypes.data_as(_i64p))
     return arena, arena_off, out_len
+
+
+def seq_non_acgt_flags(seqdb):
+    """Per-sequence non-ACGT flags (bool array) or None without the
+    native lib (oracle: ops/window_pallas.has_non_acgt_flags)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(seqdb.lengths)
+    flags = np.zeros(n, dtype=np.uint8)
+    lib.seq_non_acgt_flags(
+        _as(seqdb.data, np.uint8, _u8p),
+        _as(seqdb.offsets, np.int64, _i64p),
+        _as(seqdb.lengths, np.int64, _i64p), n,
+        flags.ctypes.data_as(_u8p))
+    return flags.astype(bool)

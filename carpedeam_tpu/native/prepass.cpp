@@ -699,6 +699,29 @@ extern "C" void kmer_compact(
 // position) into the flat sequence store.  Each valid slot owns a unique
 // query (correction_pallas block builder), so rows are race-free.
 // ---------------------------------------------------------------------------
+// Per-sequence non-ACGT flag: 1 if any byte outside uppercase "ACGT"
+// (ops/window_pallas.has_non_acgt_flags oracle; early-exit per row).
+extern "C" void seq_non_acgt_flags(
+    const uint8_t *data, const int64_t *offsets, const int64_t *lengths,
+    int64_t n_seq, uint8_t *flags)
+{
+    uint8_t pure[256];
+    memset(pure, 1, sizeof(pure));
+    pure[(uint8_t)'A'] = pure[(uint8_t)'C'] = pure[(uint8_t)'G'] =
+        pure[(uint8_t)'T'] = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n_seq; i++) {
+        const uint8_t *p = data + offsets[i];
+        const int64_t L = lengths[i];
+        uint8_t f = 0;
+        for (int64_t j = 0; j < L; j++)
+            if (pure[p[j]]) { f = 1; break; }
+        flags[i] = f;
+    }
+}
+
 // Un-2-bit the correction kernel's packed output (four query slots per
 // byte: slot g in bit pair g/(G/4)) and write EVERY position < qlen
 // (the coverage gate is folded on device; non-ACGT queries never reach

@@ -381,7 +381,8 @@ CORR_LEN_LEVELS = (512, 2048)
 
 def _run_correction_level(planes, lens, rec, rows, q_lvl, t_row_lvl,
                           ext_lvl, tlen_lvl, n_lvl, damage, out_flat,
-                          offsets, qid_of, lens_global, sink=None):
+                          offsets, qid_of, lens_global, sink=None,
+                          defer_list=None):
     """One length level: pack blocks, run the fused kernel, write the
     corrected bytes of this level's queries into out_flat.  Returns the
     level's heavy query ids (stacks too deep for the record tile),
@@ -450,42 +451,52 @@ def _run_correction_level(planes, lens, rec, rows, q_lvl, t_row_lvl,
         sink["dev_out"] = dev_out
         sink["blocks"] = blocks
         sink["g"] = G
-    with subtimer(f"corr.pull_L{max_len}"):
-        packed = np.asarray(dev_out)
 
-    from .. import native
-    with subtimer(f"corr.unpack_L{max_len}"):
-        nat_ok = native.corr_unpack2_scatter(packed, nb, G, max_len,
-                                             blocks["slot_valid"],
-                                             blocks["slot_qid"], qid_of,
-                                             lens_global, offsets,
-                                             out_flat)
-    if nat_ok:
+    def _unpack_numpy(packed):
+        acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+        # un-2-bit: block row b*G/4+g holds slots g, g+G/4, g+2G/4,
+        # g+3G/4 in bit pairs 0..3; every position < qlen is written
+        # (coverage gate folded on device; non-ACGT queries never take
+        # this path)
+        quarter = packed.reshape(nb, G // 4, max_len)
+        full = np.concatenate([quarter & 3, (quarter >> 2) & 3,
+                               (quarter >> 4) & 3, (quarter >> 6) & 3],
+                              axis=1)
+        full = full.reshape(nb * G, max_len)
+        valid = np.nonzero(blocks["slot_valid"])[0]
+        qids_g = qid_of[blocks["slot_qid"][valid]]
+        posg = np.arange(max_len)
+        pv = full[valid]
+        m = posg[None, :] < lens_global[qids_g][:, None]
+        rows_m, cols = np.nonzero(m)
+        flat_idx = offsets[qids_g[rows_m]] + cols
+        out_flat[flat_idx] = acgt[pv[rows_m, cols]]
+
+    def _pull_and_unpack():
+        with subtimer(f"corr.pull_L{max_len}"):
+            packed = np.asarray(dev_out)
+        from .. import native
+        with subtimer(f"corr.unpack_L{max_len}"):
+            nat_ok = native.corr_unpack2_scatter(
+                packed, nb, G, max_len, blocks["slot_valid"],
+                blocks["slot_qid"], qid_of, lens_global, offsets,
+                out_flat)
+        if not nat_ok:
+            _unpack_numpy(packed)
+
+    if defer_list is not None:
+        # the device->host copy is already streaming; the caller overlaps
+        # other work and materialises via the deferred closure
+        defer_list.append(_pull_and_unpack)
         return qid_of[blocks["heavy_qids"]]
-    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
-    # un-2-bit: block row b*G/4+g holds slots g, g+G/4, g+2G/4, g+3G/4
-    # in bit pairs 0..3; every position < qlen is written (coverage gate
-    # folded on device; non-ACGT queries never take this path)
-    quarter = packed.reshape(nb, G // 4, max_len)
-    full = np.concatenate([quarter & 3, (quarter >> 2) & 3,
-                           (quarter >> 4) & 3, (quarter >> 6) & 3], axis=1)
-    full = full.reshape(nb * G, max_len)
-    valid = np.nonzero(blocks["slot_valid"])[0]
-    qids_l = blocks["slot_qid"][valid]
-    qids_g = qid_of[qids_l]
-    posg = np.arange(max_len)
-    pv = full[valid]
-    m = posg[None, :] < lens_global[qids_g][:, None]
-    rows_m, cols = np.nonzero(m)
-    flat_idx = offsets[qids_g[rows_m]] + cols
-    out_flat[flat_idx] = acgt[pv[rows_m, cols]]
+    _pull_and_unpack()
     return qid_of[blocks["heavy_qids"]]
 
 
 def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
                       corr_reads_ry_seq_id: float, seq_id_thr: float,
                       planes=None, lengths=None,
-                      return_planes: bool = False):
+                      return_planes: bool = False, defer: bool = False):
     """Fused-Pallas drop-in for ops.correction_tpu.correction_tpu,
     length-levelled: each query runs in the narrowest device level
     (CORR_LEN_LEVELS) that holds it and every target in its surviving
@@ -524,6 +535,7 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
         heavy_all.append(np.nonzero(done_q)[0].astype(np.int64))
     planes_sink = None
     non_shared_lvl_ran = False
+    defer_list: list | None = [] if defer else None
     for lvl in CORR_LEN_LEVELS:
         if done_q.all():
             break
@@ -562,7 +574,8 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
         heavy = _run_correction_level(
             pl_b, len_b, rec, rows, q_lvl, t_row_lvl, ext_lvl,
             lens_all[rec["rec_t_row"][rows] % n], n_lvl, damage,
-            out_flat, offsets, qid_of, lens_all, sink=sink)
+            out_flat, offsets, qid_of, lens_all, sink=sink,
+            defer_list=defer_list)
         if len(heavy):
             heavy_all.append(np.asarray(heavy, dtype=np.int64))
         if sink is not None and sink:
@@ -577,38 +590,46 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
     # (rare: very long contigs / deep-coverage stacks; exact)
     heavy = np.unique(np.concatenate(heavy_all)) if heavy_all \
         else np.zeros(0, np.int64)
-    if len(heavy):
-        from ..aligndb import AlnDB
-        from ..stages.correction import correction_per_query
-        key2qi = {int(k): i for i, k in enumerate(aln.qkeys)}
-        sel_q = [key2qi[int(seqdb.keys[qid])] for qid in heavy
-                 if int(seqdb.keys[qid]) in key2qi]
-        row_idx = np.concatenate(
-            [np.arange(aln.starts[qi], aln.starts[qi + 1])
-             for qi in sel_q]) if sel_q else np.zeros(0, np.int64)
-        grp = np.array([aln.starts[qi + 1] - aln.starts[qi]
-                        for qi in sel_q], dtype=np.int64)
-        aln_h = AlnDB.from_arrays(
-            aln.qkey[row_idx], aln.qkeys[sel_q],
-            np.concatenate([[0], np.cumsum(grp)]),
-            **{k_: v[row_idx] for k_, v in aln.cols.items()})
-        corr_h = correction_per_query(seqdb, aln_h, damage,
-                                      corr_reads_ry_seq_id, seq_id_thr)
-        for qid in heavy:
-            o = offsets[qid]
-            Lq = int(seqdb.lengths[qid])
-            out_flat[o:o + Lq] = corr_h.seq_bytes(int(qid))
-    out_db = SeqDB.from_flat(out_flat, seqdb.lengths.copy(),
-                             keys=seqdb.keys.copy(), ext=seqdb.ext.copy(),
-                             headers=seqdb.headers)
-    if not return_planes:
-        return out_db
+
+    def _finish() -> SeqDB:
+        for fn in (defer_list or ()):
+            fn()                       # deferred pulls -> out_flat
+        if len(heavy):
+            from ..aligndb import AlnDB
+            from ..stages.correction import correction_per_query
+            key2qi = {int(k): i for i, k in enumerate(aln.qkeys)}
+            sel_q = [key2qi[int(seqdb.keys[qid])] for qid in heavy
+                     if int(seqdb.keys[qid]) in key2qi]
+            row_idx = np.concatenate(
+                [np.arange(aln.starts[qi], aln.starts[qi + 1])
+                 for qi in sel_q]) if sel_q else np.zeros(0, np.int64)
+            grp = np.array([aln.starts[qi + 1] - aln.starts[qi]
+                            for qi in sel_q], dtype=np.int64)
+            aln_h = AlnDB.from_arrays(
+                aln.qkey[row_idx], aln.qkeys[sel_q],
+                np.concatenate([[0], np.cumsum(grp)]),
+                **{k_: v[row_idx] for k_, v in aln.cols.items()})
+            corr_h = correction_per_query(seqdb, aln_h, damage,
+                                          corr_reads_ry_seq_id,
+                                          seq_id_thr)
+            for qid in heavy:
+                o = offsets[qid]
+                Lq = int(seqdb.lengths[qid])
+                out_flat[o:o + Lq] = corr_h.seq_bytes(int(qid))
+        return SeqDB.from_flat(out_flat, seqdb.lengths.copy(),
+                               keys=seqdb.keys.copy(),
+                               ext=seqdb.ext.copy(),
+                               headers=seqdb.headers)
+
     # corrected shared planes, derived on device when every corrected
     # query ran in the shared level-0 blocks (no heavy/host-corrected
     # rows that would leave stale plane rows); `None` tells the caller
-    # to fall back to a fresh pack+upload
+    # to fall back to a fresh pack+upload.  Derivation dispatches BEFORE
+    # the deferred pulls execute, so in defer mode the planes are
+    # available while the correction output still streams to the host.
     shared_out = None
-    if planes is not None and len(heavy) == 0 and not non_shared_lvl_ran:
+    if return_planes and planes is not None and len(heavy) == 0 \
+            and not non_shared_lvl_ran:
         if planes_sink is not None:
             blocks = planes_sink["blocks"]
             g = planes_sink["g"]
@@ -625,7 +646,10 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
             # nothing survived the pre-filters anywhere: correction was
             # the identity, the input planes are still exact
             shared_out = {"planes": planes, "lengths": lengths}
-    return out_db, shared_out
+    if defer:
+        return (_finish, shared_out) if return_planes else _finish
+    out_db = _finish()
+    return (out_db, shared_out) if return_planes else out_db
 
 
 def _subtimer_planes():

@@ -74,11 +74,13 @@ def _cons_kernel(wtab_ref, q_sym_ref, t_sym_ref, scal_ref, out_ref):
     B, L = q_sym_ref.shape
     q = q_sym_ref[:].astype(jnp.int32)
     t = t_sym_ref[:].astype(jnp.int32)
-    qpos0 = scal_ref[:, 0:1]
-    qlen = scal_ref[:, 1:2]
-    tlen = scal_ref[:, 2:3]
-    ir0 = scal_ref[:, 3:4]
-    ir1 = scal_ref[:, 4:5]
+    # widen immediately: the scalar plane ships int16 (tunnel bytes) but
+    # the VPU has no 16-bit vector compare
+    qpos0 = scal_ref[:, 0:1].astype(jnp.int32)
+    qlen = scal_ref[:, 1:2].astype(jnp.int32)
+    tlen = scal_ref[:, 2:3].astype(jnp.int32)
+    ir0 = scal_ref[:, 3:4].astype(jnp.int32)
+    ir1 = scal_ref[:, 4:5].astype(jnp.int32)
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
 
     # query char at qp = qpos0 + i: rotate the query row left by qpos0
@@ -174,7 +176,11 @@ def consensus_likelihood_pallas(planes, n_seqs: int, qid, tid, qpos0,
     pad = max(B, ((n + B - 1) // B) * B)
     qrow = np.zeros(pad, np.int32)
     trow = np.zeros(pad, np.int32)
-    scal = np.zeros((pad, 8), np.int32)
+    # scalar magnitudes are bounded by ~4*max_len (the 3L consensus frame
+    # plus a target-length offset): int16 halves the upload for every
+    # read/contig level <= 8k
+    sdt = np.int16 if 4 * max_len < 32768 else np.int32
+    scal = np.zeros((pad, 8), sdt)
     qrow[:n] = qid
     trow[:n] = tid
     scal[:n, 0] = qpos0

@@ -105,19 +105,9 @@ def _consensus_likelihood_host(seqdb, qid, tid, qs, qe, ts, te, alen,
     return out
 
 
-def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
-                          ry_seq_id_thr: float, likelihood_thr: float,
-                          rand_aln_penal: float, excess_penal: float,
-                          planes=None, lengths=None) -> dict:
-    """Returns per-record arrays (length == len(aln.qkey)):
-
-      cand      pass A-C candidate mask
-      seq_id, ry_seq_id   consensus-updated identities (f32-exact)
-      queue_ok  entered the priority queue (incl. sRatio > threshold)
-      s_len_norm, s_ratio  likelihood scores (f64)
-    plus per-query max_left / max_right (length == len(seqdb))."""
-    n_rec = len(aln.qkey)
-    n_seq = len(seqdb)
+def _prologue_arrays(seqdb, aln):
+    """Record-indexing arrays for the initial pass, computed from
+    metadata that correction preserves (keys, lengths, ext)."""
     qid = seqdb.lookup_keys(aln.qkey).astype(np.int64)
     tid = seqdb.lookup_keys(aln.cols["tkey"]).astype(np.int64)
     qs = aln.cols["qstart"].astype(np.int64)
@@ -127,12 +117,59 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
     tlen = seqdb.lengths[tid]
     qlen = seqdb.lengths[qid]
     alen = aln.aln_len.astype(np.int64)
-
-    # ---- pass A: raw terminal test (reverse hits have qs > qe and fail) --
     right_raw = (ts == 0) & (qe == qlen - 1)
     left_raw = (qs == 0) & (te == tlen - 1)
     terminal = (right_raw | left_raw) & (qs <= qe)
-    not_identity = tid != aln.qkey.astype(np.int64)  # id==key quirk (dense)
+    not_identity = tid != aln.qkey.astype(np.int64)
+    return {"qid": qid, "tid": tid, "qs": qs, "qe": qe, "ts": ts,
+            "te": te, "tlen": tlen, "qlen": qlen, "alen": alen,
+            "terminal": terminal, "not_identity": not_identity}
+
+
+def ext_prologue(seqdb, aln, planes, lengths):
+    """Dispatch the extension pass-B window-identity device call against
+    the (corrected) planes.  Uses only metadata the correction stage
+    preserves, so the pipeline can issue it while the correction output
+    is still streaming to the host (the device executes in order: the
+    correction kernel, the plane derivation, then this)."""
+    n_rec = len(aln.qkey)
+    if not n_rec or planes is None or planes["sym"].shape[1] > 16384:
+        return None
+    from .window_pallas import window_identity_dispatch
+    pro = _prologue_arrays(seqdb, aln)
+    rt = np.nonzero(pro["terminal"] & pro["not_identity"])[0]
+    pro["rt"] = rt
+    pro["win_handle"] = None
+    if len(rt):
+        win = (pro["qe"] - pro["qs"] + 1)[rt]
+        pro["win_handle"] = window_identity_dispatch(
+            planes, len(seqdb), pro["qid"][rt], pro["tid"][rt],
+            np.zeros(len(rt), bool), pro["qs"][rt], pro["ts"][rt], win)
+    return pro
+
+
+def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
+                          ry_seq_id_thr: float, likelihood_thr: float,
+                          rand_aln_penal: float, excess_penal: float,
+                          planes=None, lengths=None,
+                          prologue=None) -> dict:
+    """Returns per-record arrays (length == len(aln.qkey)):
+
+      cand      pass A-C candidate mask
+      seq_id, ry_seq_id   consensus-updated identities (f32-exact)
+      queue_ok  entered the priority queue (incl. sRatio > threshold)
+      s_len_norm, s_ratio  likelihood scores (f64)
+    plus per-query max_left / max_right (length == len(seqdb))."""
+    n_rec = len(aln.qkey)
+    n_seq = len(seqdb)
+    # ---- pass A: raw terminal test (reverse hits have qs > qe and fail;
+    # arrays may arrive precomputed from ext_prologue) ---------------------
+    pro = prologue if prologue is not None \
+        else _prologue_arrays(seqdb, aln)
+    qid, tid = pro["qid"], pro["tid"]
+    qs, qe, ts, te = pro["qs"], pro["qe"], pro["ts"], pro["te"]
+    tlen, qlen, alen = pro["tlen"], pro["qlen"], pro["alen"]
+    terminal, not_identity = pro["terminal"], pro["not_identity"]
 
     max_len = int(seqdb.lengths.max()) if n_seq else 1
     data = seqdb.data
@@ -180,17 +217,24 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
         from .window_pallas import has_non_acgt_flags, window_identity_pallas
         # host recompute for records with non-ACGT chars OR sequences
         # longer than the plane width (their rows are truncated)
-        flags = has_non_acgt_flags(seqdb) \
-            | (seqdb.lengths.astype(np.int64) > planes["sym"].shape[1])
+        with subtimer("ext.flags"):
+            flags = has_non_acgt_flags(seqdb) \
+                | (seqdb.lengths.astype(np.int64) > planes["sym"].shape[1])
         seq_id = np.zeros(n_rec, dtype=np.float64)
         ry_seq_id = np.zeros(n_rec, dtype=np.float64)
-        rt = np.nonzero(terminal & not_identity)[0]
+        rt = pro["rt"] if prologue is not None \
+            else np.nonzero(terminal & not_identity)[0]
         if len(rt):
             win = (qe - qs + 1)[rt]
             with subtimer("ext.window_identity_dev"):
-                idc, ryc = window_identity_pallas(
-                    planes, n_seq, qid[rt], tid[rt],
-                    np.zeros(len(rt), bool), qs[rt], ts[rt], win)
+                if prologue is not None \
+                        and pro.get("win_handle") is not None:
+                    from .window_pallas import window_identity_collect
+                    idc, ryc = window_identity_collect(*pro["win_handle"])
+                else:
+                    idc, ryc = window_identity_pallas(
+                        planes, n_seq, qid[rt], tid[rt],
+                        np.zeros(len(rt), bool), qs[rt], ts[rt], win)
             fx = np.nonzero(flags[qid[rt]] | flags[tid[rt]])[0]
             if len(fx):
                 idc[fx], ryc[fx] = _pass_b_identity_host(

@@ -46,9 +46,11 @@ def _ident_kernel(q_sym_ref, t_sym_ref, scal_ref, out_ref):
     B, L = q_sym_ref.shape
     q = q_sym_ref[:].astype(jnp.int32)
     t = t_sym_ref[:].astype(jnp.int32)
-    qstart = scal_ref[:, 0:1]
-    tstart = scal_ref[:, 1:2]
-    win = scal_ref[:, 2:3]
+    # widen immediately: the scalar plane ships int16 (tunnel bytes) but
+    # the VPU has no 16-bit vector compare
+    qstart = scal_ref[:, 0:1].astype(jnp.int32)
+    tstart = scal_ref[:, 1:2].astype(jnp.int32)
+    win = scal_ref[:, 2:3].astype(jnp.int32)
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
 
     shift = tstart - qstart
@@ -99,13 +101,26 @@ def window_identity_pallas(planes, n_seqs: int, qid, tid, is_rev,
                            qstart, tstart, win, interpret=None):
     """(idc, ryc) int64 arrays for all records; pads the record axis to a
     block multiple internally."""
+    out, n = window_identity_dispatch(planes, n_seqs, qid, tid, is_rev,
+                                      qstart, tstart, win,
+                                      interpret=interpret)
+    return window_identity_collect(out, n)
+
+
+def window_identity_dispatch(planes, n_seqs: int, qid, tid, is_rev,
+                             qstart, tstart, win, interpret=None):
+    """Dispatch half of window_identity_pallas: returns the (device
+    handle, n) pair with the device->host copy already streaming, so the
+    caller can overlap other work before `window_identity_collect`."""
     max_len = int(planes["sym"].shape[1])
     B = _block_rows(max_len)
     n = len(qid)
     pad = max(B, ((n + B - 1) // B) * B)
     qrow = np.zeros(pad, np.int32)
     trow = np.zeros(pad, np.int32)
-    scal = np.zeros((pad, 4), np.int32)
+    # coordinate scalars are bounded by the plane width (<= 16384): int16
+    # halves the tunnel bytes vs int32
+    scal = np.zeros((pad, 4), np.int16)
     qrow[:n] = qid
     trow[:n] = tid + np.where(is_rev, n_seqs, 0)
     scal[:n, 0] = qstart
@@ -113,9 +128,17 @@ def window_identity_pallas(planes, n_seqs: int, qid, tid, is_rev,
     scal[:n, 2] = win
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    out = np.asarray(_window_identity_device(
-        planes["sym"], qrow, trow, scal, max_len=max_len,
-        interpret=interpret))
+    out = _window_identity_device(planes["sym"], qrow, trow, scal,
+                                  max_len=max_len, interpret=interpret)
+    try:
+        out.copy_to_host_async()
+    except AttributeError:
+        pass
+    return out, n
+
+
+def window_identity_collect(out, n):
+    out = np.asarray(out)
     return out[:n, 0].astype(np.int64), out[:n, 1].astype(np.int64)
 
 
@@ -131,12 +154,15 @@ def has_non_acgt_flags(seqdb) -> np.ndarray:
     cached = getattr(seqdb, "_non_acgt_flags", None)
     if cached is not None:
         return cached
-    data = seqdb.data
-    bad = _PURE[data]
-    cum = np.concatenate([[0], np.cumsum(bad, dtype=np.int64)])
-    off = seqdb.offsets.astype(np.int64)
-    ln = seqdb.lengths.astype(np.int64)
-    flags = (cum[off + ln] - cum[off]) > 0
+    from .. import native
+    flags = native.seq_non_acgt_flags(seqdb)
+    if flags is None:
+        data = seqdb.data
+        bad = _PURE[data]
+        cum = np.concatenate([[0], np.cumsum(bad, dtype=np.int64)])
+        off = seqdb.offsets.astype(np.int64)
+        ln = seqdb.lengths.astype(np.int64)
+        flags = (cum[off + ln] - cum[off]) > 0
     try:
         seqdb._non_acgt_flags = flags
     except AttributeError:

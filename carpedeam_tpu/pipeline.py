@@ -258,6 +258,7 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                                      params.eval_thr, params.aln_len_thr,
                                      **shared)
             corr_shared = None
+            ext_pro = None
             with timer.time(f"correction_{step}"):
                 if dist is not None:
                     from .parallel.driver import dist_apply_by_query_range
@@ -269,11 +270,22 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                 elif shared and getattr(correction_fn,
                                         "supports_planes_out", False):
                     # corrected planes derive on device from the
-                    # correction kernel's own output — no re-pack /
-                    # re-upload for the extension stage
-                    corr, corr_shared = correction_fn(
+                    # correction kernel's own output (no re-pack /
+                    # re-upload), and the correction pull is DEFERRED:
+                    # the extension stage's first device pass dispatches
+                    # against the derived planes while the corrected
+                    # bytes still stream to the host
+                    corr_fin, corr_shared = correction_fn(
                         cur, aln, damage, params.corr_reads_ry_seq_id,
-                        params.seq_id_thr, return_planes=True, **shared)
+                        params.seq_id_thr, return_planes=True,
+                        defer=True, **shared)
+                    if corr_shared is not None \
+                            and not params.ancient_unsafe:
+                        from .ops.extension_batch import ext_prologue
+                        ext_pro = ext_prologue(cur, aln,
+                                               corr_shared["planes"],
+                                               corr_shared["lengths"])
+                    corr = corr_fin()
                 else:
                     corr = correction_fn(cur, aln, damage,
                                          params.corr_reads_ry_seq_id,
@@ -302,6 +314,7 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                                         params.max_seq_len,
                                         params.ancient_unsafe,
                                         params.min_cov_safe,
+                                        prologue=ext_pro,
                                         **(corr_shared if corr_shared
                                            is not None
                                            else _shared_planes(corr)))

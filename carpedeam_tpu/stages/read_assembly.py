@@ -166,7 +166,7 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
                   likelihood_thr: float, rand_aln_penal: float,
                   excess_penal: float, max_seq_len: int,
                   unsafe: bool = False, min_cov_safe: int = 5,
-                  planes=None, lengths=None) -> SeqDB:
+                  planes=None, lengths=None, prologue=None) -> SeqDB:
     """One iteration of read-phase extension over the whole (corrected) DB."""
     from ..utils import subtimer
     from .consensus import consensus_caller
@@ -188,7 +188,8 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
             pre = batch_initial_scoring(seqdb, aln, damage, seq_id_thr,
                                         ry_seq_id_thr, likelihood_thr,
                                         rand_aln_penal, excess_penal,
-                                        planes=planes, lengths=lengths)
+                                        planes=planes, lengths=lengths,
+                                        prologue=prologue)
 
     out_seqs: list[bytes] = []
     out_ext: list[bool] = []
