@@ -48,6 +48,11 @@ def main(argv=None) -> int:
         sp = sub.add_parser(name)
         sp.add_argument("files", nargs="+",
                         help="READS... OUT_FASTA TMP_DIR")
+        sp.add_argument("--world", type=int, default=1,
+                        help="spawn and supervise N cooperating ranks "
+                             "(the reference's --mpi-runner analogue, "
+                             "Parameters.cpp:150); output is "
+                             "byte-identical to a single process")
         add_flags(sp)
 
     sp = sub.add_parser("cyclecheck")
@@ -93,6 +98,9 @@ def main(argv=None) -> int:
                     help="comma-separated keys flagged cycle:1")
 
     args = parser.parse_args(argv)
+    if getattr(args, "world", 1) > 1 \
+            and "CARPEDEAM_RANK" not in os.environ:
+        return _launch_world(args.world, argv)
     try:
         return _dispatch(args)
     except ParamError as e:
@@ -104,6 +112,42 @@ def main(argv=None) -> int:
         miss = e.filename or e
         print(f"{parser.prog}: input not found: {miss}", file=sys.stderr)
         return 1
+
+
+def _launch_world(world: int, argv) -> int:
+    """Spawn and supervise `world` rank processes of this same command
+    (the RUNNER/--mpi-runner role, lib/mmseqs/src/commons/Parameters.cpp:
+    150,2175): each child gets CARPEDEAM_RANK/CARPEDEAM_WORLD and runs
+    the distributed pipeline on the shared tmp dir.  Any rank failing
+    terminates the group."""
+    import subprocess
+    procs: list[subprocess.Popen] = []
+    try:
+        for r in range(world):
+            env = dict(os.environ,
+                       CARPEDEAM_RANK=str(r), CARPEDEAM_WORLD=str(world))
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "carpedeam_tpu.cli", *argv],
+                env=env))
+        while True:
+            codes = [p.poll() for p in procs]
+            if any(c not in (None, 0) for c in codes):
+                for p in procs:        # exact child handles only
+                    if p.poll() is None:
+                        p.terminate()
+                for p in procs:
+                    p.wait()
+                bad = next(c for c in codes if c not in (None, 0))
+                print(f"[carpedeam-tpu] rank failed (exit {bad}); "
+                      f"group terminated", file=sys.stderr)
+                return 1
+            if all(c == 0 for c in codes):
+                return 0
+            time.sleep(0.2)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
 
 
 def _dispatch(args) -> int:

@@ -142,3 +142,42 @@ def test_two_process_pipeline(example_reads, tmp_path):
     single = run("single", 1)
     dist = run("dist", 2)
     assert single == dist
+
+
+def test_world_flag_launcher(example_reads, tmp_path):
+    """`ancient_assemble --world 2` spawns + supervises two ranks from
+    ONE command (the RUNNER analogue) and the FASTA is byte-identical
+    to the single-process run."""
+    db = example_reads.select(np.arange(0, len(example_reads), 8))
+    db.headers = [f"r{i}" for i in range(len(db))]
+    reads = tmp_path / "sub.fasta"
+    db.to_fasta(str(reads))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+
+    def run(tag, extra):
+        out = tmp_path / f"{tag}.fasta"
+        p = subprocess.run(
+            [sys.executable, "-m", "carpedeam_tpu.cli",
+             "ancient_assemble", str(reads), str(out),
+             str(tmp_path / f"tmp_{tag}"), "--ancient-damage",
+             "/root/reference/example/dhigh", *extra],
+            capture_output=True, env=env, timeout=300)
+        assert p.returncode == 0, p.stdout + p.stderr
+        return out.read_bytes()
+
+    single = run("w1", [])
+    world2 = run("w2", ["--world", "2"])
+    assert single == world2
+
+
+def test_world_flag_failure_terminates_group(tmp_path):
+    """A failing rank (bad input) must take the whole group down with a
+    nonzero exit instead of hanging on the barrier."""
+    p = subprocess.run(
+        [sys.executable, "-m", "carpedeam_tpu.cli", "ancient_assemble",
+         str(tmp_path / "missing.fq"), str(tmp_path / "o.fasta"),
+         str(tmp_path / "tmp"), "--ancient-damage",
+         "/root/reference/example/dhigh", "--world", "2"],
+        capture_output=True, timeout=120,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert p.returncode != 0
