@@ -12,14 +12,13 @@ Prints ONE JSON line:
 
 Baseline: the reference C++ binary's 4-stage iteration-0 chain on the
 SAME workload, measured standalone with tools/measure_baseline.py on
-this machine (2-core x86-64, SSE4.1+AVX2, reference built -O3 Release;
-re-pinned 2026-08-20 — this round's box runs the reference ~1.5x faster
-than round 2's, so the old constants undersold the baseline):
-
-  kmermatcher 0.966s + rescorediagonal 0.204s + ancient_correction
-  0.836s + ancient_read_assemble 0.299s = 2.305s for 6,044,347 residues
-  -> 2,622,750 residues/s  (min of 3 reps per stage; includes each
-  stage's process+IO exactly as the reference workflow pays it)
+this machine and checked in as BASELINE_CPU.json (per-stage seconds,
+residues/s, timestamp + machine fingerprint).  Regenerate with
+  python tools/measure_baseline.py work/synth_120k.fq.gz \
+      --json-out BASELINE_CPU.json
+after any environment change instead of editing constants (min of 3
+reps per stage; includes each stage's process+IO exactly as the
+reference workflow pays it).
 
 Timing notes:
   * each repetition runs the COMPLETE stage functions (host prep, device
@@ -42,14 +41,14 @@ import time
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _HERE)
 
-CPU_BASELINE = {  # tools/measure_baseline.py work/synth_120k.fq.gz
-    "reads": 120000,
-    "residues": 6044347,
-    "stage_s": {"kmermatcher": 0.966, "rescorediagonal": 0.204,
-                "correction": 0.836, "read_assemble": 0.299},
-    "total_s": 2.305,
-    "residues_per_s": 2622750.0,
-}
+def _load_cpu_baseline():
+    """The reference binary's measured 4-stage numbers, produced by
+    tools/measure_baseline.py --json-out BASELINE_CPU.json (checked in
+    with timestamp + machine fingerprint; regenerate after any
+    environment change instead of editing constants)."""
+    path = os.path.join(_HERE, "BASELINE_CPU.json")
+    with open(path) as fh:
+        return json.load(fh)
 
 
 def _workload(n_reads: int) -> str:
@@ -162,8 +161,9 @@ def main():
         "value": round(value),
         "unit": "residues/s",
     }
-    if n_reads == CPU_BASELINE["reads"]:
-        out["vs_baseline"] = round(value / CPU_BASELINE["residues_per_s"],
+    baseline = _load_cpu_baseline()
+    if n_reads == baseline["reads"]:
+        out["vs_baseline"] = round(value / baseline["residues_per_s"],
                                    3)
     print(json.dumps(out))
 

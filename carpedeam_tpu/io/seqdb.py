@@ -177,10 +177,14 @@ class SeqDB:
                 fh.write(f">{h}\n{self.seq_str(i)}\n")
 
     # ------------------------------------------------------------- checkpoints
-    def save(self, prefix: str) -> None:
-        np.savez(prefix + ".npz", data=self.data, offsets=self.offsets,
-                 lengths=self.lengths, keys=self.keys, ext=self.ext,
-                 dbtype=np.int64(self.dbtype))
+    def save(self, prefix: str, compressed: bool = False) -> None:
+        """Checkpoint to <prefix>.npz; `compressed` (the --compressed /
+        DBWriter zstd role) stores deflated members — load() reads both
+        transparently."""
+        writer = np.savez_compressed if compressed else np.savez
+        writer(prefix + ".npz", data=self.data, offsets=self.offsets,
+               lengths=self.lengths, keys=self.keys, ext=self.ext,
+               dbtype=np.int64(self.dbtype))
         if self.headers is not None:
             with open(prefix + ".headers", "w") as fh:
                 for h in self.headers:
@@ -272,22 +276,52 @@ class SeqDB:
         return SeqDB.from_sequences(seqs, keys=np.array(keys, dtype=np.uint32),
                                     ext=np.array(ext, dtype=bool))
 
-    def write_mmseqs(self, db_path: str, dbtype: int | None = None) -> None:
+    def write_mmseqs(self, db_path: str, dbtype: int | None = None,
+                     compressed: bool = False) -> None:
         """Write a reference-format on-disk DB (data + .index + .dbtype)
         that the reference binary's DBReader can mmap: records are
         '\\n\\0'-terminated, the 4-column index carries the wasExtended
-        flag (DBWriter.cpp:415-424)."""
+        flag (DBWriter.cpp:415-424).
+
+        `compressed=True` writes the `--compressed` entry format
+        (DBWriter WRITER_COMPRESSED_MODE, DBWriter.cpp:274-392): each
+        entry is u32 payloadSize + payload + flag byte, where the
+        payload is a zstd level-3 stream of record+'\\n' (flag 0x00), or
+        the raw bytes when the record is shorter than 60 (flag 0xFF,
+        zstd struggles below that); the index keeps the UNCOMPRESSED
+        length and .dbtype sets bit 31."""
+        zc = None
+        if compressed:
+            import zstandard
+            zc = zstandard.ZstdCompressor(level=3)
         with open(db_path, "wb") as fd, open(db_path + ".index", "w") as fi:
             off = 0
             for i in range(len(self)):
-                rec = self.seq_bytes(i).tobytes() + b"\n\x00"
+                body = self.seq_bytes(i).tobytes() + b"\n"
+                if not compressed:
+                    rec = body + b"\x00"
+                    ln = len(rec)
+                else:
+                    # streaming frame like ZSTD_initCStream (no content
+                    # size header); uncompressed length incl. null byte
+                    if len(body) < 60:
+                        payload, flag = body, b"\xff"
+                    else:
+                        co = zc.compressobj()
+                        payload = co.compress(body) + co.flush()
+                        flag = b"\x00"
+                    rec = np.uint32(len(payload)).tobytes() + payload \
+                        + flag
+                    ln = len(body) + 1
                 fd.write(rec)
-                fi.write(f"{int(self.keys[i])}\t{off}\t{len(rec)}\t"
+                fi.write(f"{int(self.keys[i])}\t{off}\t{ln}\t"
                          f"{1 if self.ext[i] else 0}\n")
                 off += len(rec)
         with open(db_path + ".dbtype", "wb") as ft:
-            ft.write(np.int32(dbtype if dbtype is not None
-                              else self.dbtype).tobytes())
+            dt = np.uint32(dbtype if dbtype is not None else self.dbtype)
+            if compressed:
+                dt |= np.uint32(1 << 31)
+            ft.write(dt.astype(np.uint32).tobytes())
 
     @staticmethod
     def read_mmseqs_records(db_path: str) -> dict[int, str]:

@@ -72,6 +72,13 @@ class Params:
     delete_tmp_inc: bool = True
     db_mode: bool = False
     verbosity: int = 3
+    compressed: int = 0                     # --compressed (DBWriter zstd role)
+    split_memory_limit: str = "0"           # --split-memory-limit (0 = auto)
+    # Plass coding filter (vestigial in the reference's ancient path:
+    # compiled + parameterised but filternoncoding is unregistered,
+    # src/commons/LocalParameters.h:119-120,283-285)
+    filter_proteins: int = 1                # --filter-proteins
+    protein_filter_threshold: float = 0.2   # --protein-filter-threshold
     # device kernel selection: "auto" = use the accelerator path when the
     # default JAX backend is not the host CPU; "1"/"0" force on/off.  Both
     # paths are bit-identical (tests/test_device_parity.py).
@@ -153,7 +160,31 @@ class Params:
         if self.use_device not in ("auto", "0", "1", "pallas", "mesh"):
             bad("use_device",
                 "must be one of auto, 0, 1, pallas, mesh")
+        if self.compressed not in (0, 1):
+            bad("compressed", "must be 0 or 1")
+        if self.filter_proteins not in (0, 1):
+            bad("filter_proteins", "must be 0 or 1")
+        if not 0.0 <= float(self.protein_filter_threshold) <= 1.0:
+            bad("protein_filter_threshold", "must be in [0.0, 1.0]")
+        if parse_byte_size(self.split_memory_limit) is None:
+            bad("split_memory_limit",
+                "must be 0 or <number>[T|G|M|K] (the reference's BYTE "
+                "format, Parameters.cpp)")
         return self
+
+
+def parse_byte_size(text: str) -> int | None:
+    """Reference BYTE flag format (`^(0|[1-9]{1}[0-9]*(T|G|M|K)?)$`,
+    e.g. --split-memory-limit 10G); returns bytes, or None if invalid."""
+    import re
+    m = re.fullmatch(r"0|([1-9][0-9]*)([TGMK]?)", str(text).strip())
+    if m is None:
+        return None
+    if m.group(1) is None:
+        return 0
+    mult = {"": 1, "K": 1024, "M": 1024 ** 2, "G": 1024 ** 3,
+            "T": 1024 ** 4}[m.group(2)]
+    return int(m.group(1)) * mult
 
 
 def apply_nuclassemble_defaults(p: Params) -> Params:
@@ -196,6 +227,10 @@ _FLAGS = {
     "--remove-tmp-files": ("remove_tmp_files", bool),
     "--delete-tmp-inc": ("delete_tmp_inc", bool),
     "--db-mode": ("db_mode", bool),
+    "--compressed": ("compressed", int),
+    "--split-memory-limit": ("split_memory_limit", str),
+    "--filter-proteins": ("filter_proteins", int),
+    "--protein-filter-threshold": ("protein_filter_threshold", float),
     "-v": ("verbosity", int),
     "--use-device": ("use_device", str),
 }

@@ -109,8 +109,12 @@ def _pick_kmermatcher(use: str, params: Params):
     the host path and CARPEDEAM_KMER_DEVICE=1 opts in.  The dense
     likelihood stages are where the TPU wins; see BENCH notes."""
     mode = os.environ.get("CARPEDEAM_KMER_DEVICE", "auto")
-    if mode == "0":
-        return kmermatcher
+    # --split-memory-limit caps the extraction working set like the
+    # reference caps its k-mer array splits (kmermatcher.cpp:615-624);
+    # ~50 bytes of temporary window state per residue per block
+    from .params import parse_byte_size
+    limit = parse_byte_size(params.split_memory_limit) or 0
+    mbr = max(limit // 50, 1 << 20) if limit else None
 
     def km(seqdb, k, kps, scale, only_ext, hash_shift=67,
            cov_mode=0, cov_thr=0.0):
@@ -124,7 +128,7 @@ def _pick_kmermatcher(use: str, params: Params):
             except ValueError:
                 pass        # packing budget exceeded: host path below
         return kmermatcher(seqdb, k, kps, scale, only_ext, hash_shift,
-                           cov_mode, cov_thr)
+                           cov_mode, cov_thr, max_block_residues=mbr)
     return km
 
 
@@ -362,7 +366,7 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                                        params.min_cov_safe)
 
         if ck.tmp and (dist is None or dist.rank == 0):
-            nxt.save(ck.path(name))
+            nxt.save(ck.path(name), compressed=bool(params.compressed))
             ck.mark(name)
         log(f"step {step}: {'reads' if read_phase else 'contigs'} "
             f"n={len(nxt)} extended={int(nxt.ext.sum())}")
@@ -372,7 +376,8 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
             cyc, none_cyc = cyclecheck(cur, k=22, chop=params.chop_cycle,
                                        max_seq_len=params.max_seq_len)
             if ck.tmp and (dist is None or dist.rank == 0):
-                cyc.save(ck.path(f"cycle_{step}"))
+                cyc.save(ck.path(f"cycle_{step}"),
+                         compressed=bool(params.compressed))
                 ck.mark(f"cycle_{step}")
             if len(cyc):
                 for j in range(len(cyc)):

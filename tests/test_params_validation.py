@@ -16,6 +16,9 @@ def test_defaults_validate():
     ("kmer_size_reads", 32),            # strand flag needs bit 63 free
     ("random_align_penal", 0.0), ("excess_penal", -0.5),
     ("kmers_per_sequence_scale", -0.1),
+    ("compressed", 2), ("split_memory_limit", "10Q"),
+    ("split_memory_limit", "-5G"), ("protein_filter_threshold", 1.5),
+    ("filter_proteins", 3),
     ("num_iterations", 0), ("threads", 0),
     ("num_iterations_reads", 99),       # > num_iterations
     ("eval_thr", -1.0), ("use_device", "gpu"),

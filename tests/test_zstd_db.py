@@ -65,3 +65,53 @@ def test_compressed_db_golden(tmp_path):
     assert len(db_c) == len(db_u)
     assert sorted(db_c.seq_str(i) for i in range(len(db_c))) \
         == sorted(db_u.seq_str(i) for i in range(len(db_u)))
+
+
+def test_compressed_write_reads_back():
+    """SeqDB.write_mmseqs(compressed=True) -> SeqDB.read_mmseqs is the
+    identity (covers both the zstd path and the <60-byte raw path)."""
+    import tempfile
+    seqs = [b"ACGT" * 50, b"A" * 10, b"GATTACA" * 30, b"ACGT",
+            b"N" * 70]
+    db = SeqDB.from_sequences(seqs,
+                              ext=np.array([1, 0, 1, 0, 0], dtype=bool))
+    with tempfile.TemporaryDirectory() as td:
+        base = os.path.join(td, "cdb")
+        db.write_mmseqs(base, compressed=True)
+        assert SeqDB._read_dbtype(base) < 0        # bit 31 set
+        back = SeqDB.read_mmseqs(base)
+        assert [back.seq_str(i).encode() for i in range(len(back))] \
+            == seqs
+        assert np.array_equal(back.ext, db.ext)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BIN),
+                    reason="reference binary not built")
+def test_compressed_write_golden_reference_reads(tmp_path):
+    """Round-trip through the REFERENCE binary: our --compressed write
+    must be readable by the reference's DBReader (driven via
+    convert2fasta on the DB + a header DB)."""
+    seqs = [b"ACGTACGTAA" * 12, b"TTGACA" * 25, b"ACG",
+            b"CGATTACA" * 9]
+    db = SeqDB.from_sequences(seqs)
+    base = os.path.join(str(tmp_path), "ours")
+    db.write_mmseqs(base, compressed=True)
+    hdr = SeqDB.from_sequences([f"s{i}".encode() for i in range(len(seqs))],
+                               keys=db.keys.copy())
+    hdr.write_mmseqs(base + "_h", dbtype=12)
+    out_fa = os.path.join(str(tmp_path), "out.fasta")
+    subprocess.run([REF_BIN, "convert2fasta", base, out_fa], check=True,
+                   capture_output=True)
+    got = []
+    with open(out_fa) as fh:
+        cur = None
+        for line in fh:
+            if line.startswith(">"):
+                if cur is not None:
+                    got.append(cur)
+                cur = ""
+            else:
+                cur += line.strip()
+        if cur is not None:
+            got.append(cur)
+    assert got == [s.decode() for s in seqs]

@@ -42,6 +42,10 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".refbuild", "src", "carpedeam"))
     ap.add_argument("--damage", default="/root/reference/example/dhigh")
+    ap.add_argument("--json-out", default=None,
+                    help="write the result (with timestamp + machine "
+                         "fingerprint) to this JSON file; bench.py reads "
+                         "BASELINE_CPU.json at the repo root")
     args = ap.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="refbaseline_")
@@ -97,6 +101,38 @@ def main():
         print(f"  {name}: {dt:.3f}s")
     print(f"4-stage total: {total:.3f}s -> "
           f"{residues / total:,.0f} residues/s")
+    if args.json_out:
+        import json
+        import platform
+        with op(args.workload, "rt") as fh:
+            n_reads = sum(1 for i, _ in enumerate(fh) if i % 4 == 0)
+        cpu = ""
+        try:
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.startswith("model name"):
+                        cpu = line.split(":", 1)[1].strip()
+                        break
+        except OSError:
+            pass
+        payload = {
+            "workload": os.path.basename(args.workload),
+            "reads": n_reads,
+            "residues": residues,
+            "stage_s": {k: round(v, 4) for k, v in times.items()},
+            "total_s": round(total, 4),
+            "residues_per_s": round(residues / total, 1),
+            "full_wall_s": round(full_wall, 2),
+            "reps": args.reps,
+            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+            "machine": {"cpu": cpu, "cores": os.cpu_count(),
+                        "platform": platform.platform()},
+            "binary": args.binary,
+        }
+        with open(args.json_out, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+        print(f"wrote {args.json_out}")
     shutil.rmtree(tmp, ignore_errors=True)
 
 
