@@ -158,6 +158,15 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
             _u32p2, _u32p2, _i32p, _i32p, _i64p, _i64p, _i64p]
         lib.kmermatcher_scan.restype = ctypes.c_int64
+        lib.kmer_emit_pairs.argtypes = [
+            _u64p, _i64p, _i32p, _i32p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+            _u64p, _u32p2, _u8p]
+        lib.kmer_emit_pairs.restype = ctypes.c_int64
+        lib.kmer_pairs_to_pref.argtypes = [
+            _u64p, _u32p2, _u8p, ctypes.c_int64, _u32p2,
+            _u32p2, _u32p2, _i32p, _i32p, _i64p, _i64p, _i64p]
+        lib.kmer_pairs_to_pref.restype = ctypes.c_int64
         lib.banded_align_one.argtypes = [
             _u8p, ctypes.c_int64, _u8p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -692,3 +701,59 @@ def seq_non_acgt_flags(seqdb):
         _as(seqdb.lengths, np.int64, _i64p), n,
         flags.ctypes.data_as(_u8p))
     return flags.astype(bool)
+
+
+def kmer_emit_pairs(ent, include_only_extendable, cov_mode=0,
+                    cov_thr=0.0):
+    """Phase 1 of the kmermatcher scan: entry table -> (pk1, pk2, fwd)
+    pair stream (native/kmer_pairs.cpp).  None without the native lib."""
+    import ctypes
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(ent["kmer"])
+    pk1 = np.zeros(n, dtype=np.uint64)
+    pk2 = np.zeros(n, dtype=np.uint32)
+    fwd = np.zeros(n, dtype=np.uint8)
+    _u32 = ctypes.POINTER(ctypes.c_uint32)
+    np_ = lib.kmer_emit_pairs(
+        _as(ent["kmer"], np.uint64, _u64p),
+        _as(ent["id"], np.int64, _i64p),
+        _as(ent["pos"], np.int32, _i32p),
+        _as(ent["seq_len"], np.int32, _i32p), n,
+        int(bool(include_only_extendable)), int(cov_mode),
+        float(cov_thr),
+        pk1.ctypes.data_as(_u64p), pk2.ctypes.data_as(_u32),
+        fwd.ctypes.data_as(_u8p))
+    return pk1[:np_], pk2[:np_], fwd[:np_]
+
+
+def kmer_pairs_to_pref(pk1, pk2, fwd, keys):
+    """Phase 2: pair stream -> pref scan tuple (same shape as
+    kmermatcher_scan's result).  None without the native lib."""
+    import ctypes
+    lib = get_lib()
+    if lib is None:
+        return None
+    np_ = len(pk1)
+    cap = 2 * np_ + 2
+    _u32 = ctypes.POINTER(ctypes.c_uint32)
+    qkey = np.zeros(cap, dtype=np.uint32)
+    tkey = np.zeros(cap, dtype=np.uint32)
+    score = np.zeros(cap, dtype=np.int32)
+    diag = np.zeros(cap, dtype=np.int32)
+    grs = np.zeros(cap, dtype=np.int64)
+    gcentre = np.zeros(cap, dtype=np.int64)
+    n_groups = np.zeros(1, dtype=np.int64)
+    n_rows = lib.kmer_pairs_to_pref(
+        _as(pk1, np.uint64, _u64p), _as(pk2, np.uint32, _u32),
+        _as(fwd, np.uint8, _u8p), np_,
+        _as(keys, np.uint32, _u32),
+        qkey.ctypes.data_as(_u32), tkey.ctypes.data_as(_u32),
+        score.ctypes.data_as(_i32p), diag.ctypes.data_as(_i32p),
+        grs.ctypes.data_as(_i64p), gcentre.ctypes.data_as(_i64p),
+        n_groups.ctypes.data_as(_i64p))
+    g = int(n_groups[0])
+    return (qkey[:n_rows].copy(), tkey[:n_rows].copy(),
+            score[:n_rows].copy(), diag[:n_rows].copy(),
+            grs[:g].copy(), gcentre[:g].copy())

@@ -131,14 +131,20 @@ int64_t build_pref_scan(
     uint32_t *qkey_o, uint32_t *tkey_o, int32_t *score_o, int32_t *diag_o,
     int64_t *group_row_start, int64_t *group_centre, int64_t *n_groups_o);
 
-// Full post-extraction kmermatcher: returns row count; *n_groups_o like
-// build_pref_scan.  Row buffers must hold n + #groups rows (cap 2n + 2).
-int64_t kmermatcher_scan(
+// Phase 1 of the kmermatcher scan: sorted-group walk + pair emission
+// (assignGroup, kmermatcher.cpp:453-562).  Emits (centre<<32|member,
+// diag^bias, fwd) rows into caller buffers (capacity n suffices: every
+// entry emits at most one row).  Deterministic for a given entry
+// MULTISET regardless of input order — the radix orders groups by kmer
+// and the per-group (tie, pos) sort fixes intra-group order — so
+// distributed ranks can run it over disjoint kmer ranges and
+// concatenate in kmer-range order to reproduce the single-process pair
+// stream exactly.
+int64_t kmer_emit_pairs(
     const uint64_t *kmer, const int64_t *id, const int32_t *pos,
-    const int32_t *seq_len, int64_t n, const uint32_t *keys,
+    const int32_t *seq_len, int64_t n,
     int64_t include_only_extendable, int64_t cov_mode, float cov_thr,
-    uint32_t *qkey_o, uint32_t *tkey_o, int32_t *score_o, int32_t *diag_o,
-    int64_t *group_row_start, int64_t *group_centre, int64_t *n_groups_o)
+    uint64_t *pk1_o, uint32_t *pk2_o, uint8_t *pfwd_o)
 {
     const bool timing = std::getenv("CARPEDEAM_SCAN_TIMING") != nullptr;
     auto tick = std::chrono::steady_clock::now();
@@ -249,26 +255,43 @@ int64_t kmermatcher_scan(
     eidx.clear(); eidx.shrink_to_fit();
     int64_t np = 0;
     for (int t = 0; t < n_chunks; t++) np += (int64_t)emits[t].k1.size();
-    std::vector<uint64_t> pk1(np);
-    std::vector<uint32_t> pk2(np);
-    std::vector<uint8_t> pfwd(np);
     {
         int64_t off = 0;
         for (int t = 0; t < n_chunks; t++) {
             const int64_t cn = (int64_t)emits[t].k1.size();
-            std::memcpy(pk1.data() + off, emits[t].k1.data(),
+            std::memcpy(pk1_o + off, emits[t].k1.data(),
                         cn * sizeof(uint64_t));
-            std::memcpy(pk2.data() + off, emits[t].k2.data(),
+            std::memcpy(pk2_o + off, emits[t].k2.data(),
                         cn * sizeof(uint32_t));
-            std::memcpy(pfwd.data() + off, emits[t].fwd.data(), (size_t)cn);
+            std::memcpy(pfwd_o + off, emits[t].fwd.data(), (size_t)cn);
             off += cn;
             std::vector<uint64_t>().swap(emits[t].k1);
             std::vector<uint32_t>().swap(emits[t].k2);
             std::vector<uint8_t>().swap(emits[t].fwd);
         }
     }
-
     lap("group walk + emit");
+    return np;
+}
+
+// Phase 2: sort the pair stream by (centre, member, diag) — stable, so
+// the caller-provided order breaks ties exactly like the fused
+// single-process scan — and run the writeKmerMatcherResult scan.
+int64_t kmer_pairs_to_pref(
+    const uint64_t *pk1, const uint32_t *pk2, const uint8_t *pfwd,
+    int64_t np, const uint32_t *keys,
+    uint32_t *qkey_o, uint32_t *tkey_o, int32_t *score_o, int32_t *diag_o,
+    int64_t *group_row_start, int64_t *group_centre, int64_t *n_groups_o)
+{
+    const bool timing = std::getenv("CARPEDEAM_SCAN_TIMING") != nullptr;
+    auto tick = std::chrono::steady_clock::now();
+    auto lap = [&](const char *label) {
+        if (!timing) return;
+        auto now = std::chrono::steady_clock::now();
+        std::fprintf(stderr, "scan %s: %.2fs\n", label,
+                     std::chrono::duration<double>(now - tick).count());
+        tick = now;
+    };
     // ---- sort pairs by (centre, member, diag) --------------------------
     // The three fields almost always pack into ONE <=64-bit key
     // (ids < n_seqs, diag range set by sequence lengths), so one stable
@@ -328,9 +351,6 @@ int64_t kmermatcher_scan(
         d[i] = (int32_t)(pk2[pidx[i]] ^ 0x80000000u);
         f[i] = pfwd[pidx[i]];
     }
-    std::vector<uint64_t>().swap(pk1);
-    std::vector<uint32_t>().swap(pk2);
-    std::vector<uint8_t>().swap(pfwd);
     std::vector<uint32_t>().swap(pidx);
     lap("column fill");
     const int64_t ret = build_pref_scan(c.data(), f.data(), m.data(), d.data(), np,
@@ -338,6 +358,26 @@ int64_t kmermatcher_scan(
                            group_row_start, group_centre, n_groups_o);
     lap("build_pref_scan");
     return ret;
+}
+
+// Full post-extraction kmermatcher: returns row count; *n_groups_o like
+// build_pref_scan.  Row buffers must hold n + #groups rows (cap 2n + 2).
+int64_t kmermatcher_scan(
+    const uint64_t *kmer, const int64_t *id, const int32_t *pos,
+    const int32_t *seq_len, int64_t n, const uint32_t *keys,
+    int64_t include_only_extendable, int64_t cov_mode, float cov_thr,
+    uint32_t *qkey_o, uint32_t *tkey_o, int32_t *score_o, int32_t *diag_o,
+    int64_t *group_row_start, int64_t *group_centre, int64_t *n_groups_o)
+{
+    std::vector<uint64_t> pk1((size_t)n);
+    std::vector<uint32_t> pk2((size_t)n);
+    std::vector<uint8_t> pfwd((size_t)n);
+    const int64_t np = kmer_emit_pairs(
+        kmer, id, pos, seq_len, n, include_only_extendable, cov_mode,
+        cov_thr, pk1.data(), pk2.data(), pfwd.data());
+    return kmer_pairs_to_pref(pk1.data(), pk2.data(), pfwd.data(), np,
+                              keys, qkey_o, tkey_o, score_o, diag_o,
+                              group_row_start, group_centre, n_groups_o);
 }
 
 

@@ -15,7 +15,7 @@
 // Float semantics replicate the validated NumPy batch implementations
 // exactly (np.float32 step-by-step arithmetic where the reference uses
 // float, IEEE f64 for likelihood sums); byte-identical end-to-end output
-// is enforced by tests/test_golden_pipeline.py.
+// is enforced by tests/test_contig_phase.py::test_golden_full_nuclassemble.
 #include <algorithm>
 #include <cmath>
 #include <cstdint>

@@ -58,7 +58,10 @@ def _tiles_for(max_len: int) -> tuple[int, int]:
     planes are sized nb*REC_TILE, so fuller blocks mean fewer padded
     slots crossing the tunnel, and a 2G >= 256 membership matmul keeps
     the MXU's M dimension full.  G >= 32 everywhere: the 2-bit packed
-    output block has G//4 sublanes and Mosaic requires >= 8."""
+    output block has G//4 sublanes and Mosaic requires >= 8.  Levels
+    above 2048 use the layer-chunked accumulation (one (R, L) one-hot
+    matmul per damage class instead of an 11L-wide scratch), which keeps
+    VMEM linear in L."""
     if max_len <= 128:
         return 128, 512
     if max_len <= 512:
@@ -66,6 +69,10 @@ def _tiles_for(max_len: int) -> tuple[int, int]:
     if max_len <= 1024:
         return 32, 64
     return 32, 32
+
+
+def _chunked_for(max_len: int) -> bool:
+    return max_len > 2048
 
 
 def _roll_rows_left(x, shift, width: int):
@@ -80,17 +87,18 @@ def _roll_rows_left(x, shift, width: int):
     return x
 
 
-def _make_correction_kernel(G: int):
+def _make_correction_kernel(G: int, chunked: bool = False):
     def kernel(t_sym_ref, rscal_ref, slot_sym_ref, qscal_ref, wtab_ref,
                packed_ref, onehot):
         return _correction_kernel_body(
             G, t_sym_ref, rscal_ref, slot_sym_ref, qscal_ref, wtab_ref,
-            packed_ref, onehot)
+            packed_ref, onehot, chunked)
     return kernel
 
 
 def _correction_kernel_body(G, t_sym_ref, rscal_ref, slot_sym_ref,
-                            qscal_ref, wtab_ref, packed_ref, onehot):
+                            qscal_ref, wtab_ref, packed_ref, onehot,
+                            chunked=False):
     R, L = t_sym_ref.shape
     t_sym = t_sym_ref[:].astype(jnp.int32)
     qstart = rscal_ref[:, 0:1].astype(jnp.int32)

@@ -110,47 +110,212 @@ def initialize(coordinator: str, num_processes: int, process_id: int,
                                process_id=process_id)
 
 
+N_KRANGES = 64     # kmer-value ranges (phase A -> B routing)
+N_CBUCKETS = 128   # centre-id buckets (phase B -> C routing)
+_ENT_FIELDS = ("kmer", "id", "pos", "seq_len")
+
+
+def _dump(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        pickle.dump(obj, fh, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+
+
+def _load(path: str):
+    with open(path, "rb") as fh:
+        return pickle.load(fh)
+
+
+def _contiguous_partition(counts: np.ndarray, world: int) -> list[int]:
+    """Deterministic contiguous split of len(counts) slots into `world`
+    parts balanced by cumulative count; returns boundary slot indices
+    (len world+1)."""
+    cum = np.concatenate([[0], np.cumsum(counts.astype(np.float64))])
+    total = cum[-1]
+    bounds = [0]
+    for r in range(1, world):
+        bounds.append(int(np.searchsorted(cum, total * r / world)))
+    bounds.append(len(counts))
+    for r in range(1, world + 1):   # keep boundaries monotone
+        if bounds[r] < bounds[r - 1]:
+            bounds[r] = bounds[r - 1]
+    return bounds
+
+
 def process_kmermatcher(seqdb: SeqDB, params_tuple, shard_dir: str,
                         process_id: int, num_processes: int,
-                        n_shards: int, barrier=None):
-    """Per-process kmermatcher step: ONE extraction pass per rank
-    partitioned into this rank's hash-range shards (raw, unsorted),
-    spill to the shared filesystem, and on process 0 a concat + the
-    fused native sort/group/scan (kmer.matcher.pref_from_entries).
+                        n_shards: int = 0, barrier=None):
+    """Fully distributed kmermatcher (no rank-0 serial phase):
 
-    The merged multiset equals the single-shard entry table, so the
-    result is bit-identical to the single-process stage regardless of
-    spill order.  Returns the PrefDB on process 0, None elsewhere.
-    `barrier` is any callable that blocks until all processes reach it
-    (on a jax.distributed process group use psum_barrier)."""
-    from ..kmer.matcher import pref_from_entries
+    * phase A: each rank extracts ITS OWN sequence range (equal residue
+      split) and spills the entries partitioned into N_KRANGES
+      contiguous k-mer value ranges — the reference's hash-space splits
+      (kmermatcher.cpp:636-664) re-cut so the pair-emission order stays
+      reproducible;
+    * phase B: ranks take contiguous k-mer ranges balanced by entry
+      count, run the native group-walk pair emission over their ranges
+      (groups are k-mer-local, so every rank's pair stream is exact),
+      and spill pairs into N_CBUCKETS centre-id buckets;
+    * phase C: ranks take contiguous centre buckets balanced by pair
+      count, concatenate bucket files in (bucket, source-rank) order —
+      which reproduces the single-process pair stream order exactly,
+      because source ranks own ascending k-mer ranges — and run the
+      native stable pair-sort + result scan over their centre span;
+    * every rank then assembles the identical full PrefDB from the
+      partial scans (cheap concatenation; no rank-0 bottleneck).
+
+    Bit-identical to the single-process stage; returns the PrefDB on
+    EVERY rank.  `barrier` blocks until all ranks arrive."""
+    from .. import native
+    from ..kmer.matcher import _pref_from_scan, pref_from_entries
 
     k, kps, scale, ioe, hash_shift = params_tuple
     os.makedirs(shard_dir, exist_ok=True)
-    mine = shards_for_process(n_shards, process_id, num_processes)
-    if mine:
-        ent = extract_selected_kmers_batched(seqdb, k, kps, scale,
+    world = num_processes
+    if native.get_lib() is None or world <= 1:
+        # fallback: single-rank semantics (rank 0 computes, all return)
+        if process_id == 0:
+            ent = extract_selected_kmers_batched(seqdb, k, kps, scale,
+                                                 hash_shift)
+            pref = pref_from_entries(seqdb, ent, ioe)
+            from ..aligndb import PrefDB
+            pref.save(os.path.join(shard_dir, "pref"))
+        if barrier is not None:
+            barrier()
+        if process_id != 0:
+            from ..aligndb import PrefDB
+            return PrefDB.load(os.path.join(shard_dir, "pref"))
+        return pref
+
+    # ---- phase A: extract own sequence range, spill by k-mer range ----
+    from ..utils import subtimer
+    _stA = subtimer("km.phaseA"); _stA.__enter__()
+    seq_bounds = _contiguous_partition(seqdb.lengths, world)
+    lo, hi = seq_bounds[process_id], seq_bounds[process_id + 1]
+    sub_db = SeqDB(seqdb.data, seqdb.offsets[lo:hi], seqdb.lengths[lo:hi],
+                   seqdb.keys[lo:hi], seqdb.ext[lo:hi], None,
+                   seqdb.dbtype) if hi > lo else None
+    if sub_db is not None and len(sub_db):
+        ent = extract_selected_kmers_batched(sub_db, k, kps, scale,
                                              hash_shift)
-        ranges = kmer_hash_ranges(n_shards)
-        for s in mine:
-            lo, hi = ranges[s]
-            m = (ent["h16"] >= lo) & (ent["h16"] <= hi)
-            sub = {k_: v[m] for k_, v in ent.items()}
-            tmp = os.path.join(shard_dir, f"split_{s}.pkl.tmp")
-            with open(tmp, "wb") as fh:
-                pickle.dump(sub, fh)
-            os.replace(tmp, os.path.join(shard_dir, f"split_{s}.pkl"))
-    if barrier is not None:
+        ent["id"] = ent["id"] + lo
+    else:
+        ent = {f: np.zeros(0, dtype=np.uint64 if f == "kmer" else
+                           np.int64 if f == "id" else np.int32)
+               for f in _ENT_FIELDS}
+    # k-mer range id from the top bits of the 2k-bit canonical value
+    # (bit 63 is the strand flag; the payload is only 2k bits wide)
+    shift = max(0, 2 * k - 6)
+    kr = (np.asarray(ent["kmer"], dtype=np.uint64)
+          & np.uint64((1 << 63) - 1)) >> np.uint64(shift)
+    kr = np.minimum(kr, N_KRANGES - 1)
+    order = np.argsort(kr, kind="stable")
+    ent_sorted = {f: ent[f][order] for f in _ENT_FIELDS}  # one gather each
+    kr_sorted = kr[order]
+    bounds = np.searchsorted(kr_sorted, np.arange(N_KRANGES + 1))
+    ent_counts = np.zeros(N_KRANGES, dtype=np.int64)
+    for r in range(N_KRANGES):
+        b0, b1 = int(bounds[r]), int(bounds[r + 1])
+        ent_counts[r] = b1 - b0
+        _dump(os.path.join(shard_dir, f"entA_{r}_{process_id}.pkl"),
+              {f: ent_sorted[f][b0:b1] for f in _ENT_FIELDS})
+    _dump(os.path.join(shard_dir, f"entcnt_{process_id}.pkl"), ent_counts)
+    del ent, kr, order, kr_sorted
+    _stA.__exit__()
+    with subtimer("km.barrierA"):
         barrier()
-    if process_id != 0:
-        return None
-    shards = []
-    for s in range(n_shards):
-        with open(os.path.join(shard_dir, f"split_{s}.pkl"), "rb") as fh:
-            shards.append(pickle.load(fh))
-    ent = {k_: np.concatenate([sh[k_] for sh in shards])
-           for k_ in shards[0]}
-    return pref_from_entries(seqdb, ent, ioe)
+    _stB = subtimer("km.phaseB"); _stB.__enter__()
+
+    # ---- phase B: pair emission over contiguous k-mer ranges ----------
+    totals = np.zeros(N_KRANGES, dtype=np.int64)
+    for src in range(world):
+        totals += _load(os.path.join(shard_dir, f"entcnt_{src}.pkl"))
+    kbounds = _contiguous_partition(totals, world)
+    my_ranges = range(kbounds[process_id], kbounds[process_id + 1])
+    parts = []
+    for r in my_ranges:
+        for src in range(world):
+            parts.append(_load(os.path.join(shard_dir,
+                                            f"entA_{r}_{src}.pkl")))
+    if parts:
+        ent_b = {f: np.concatenate([p[f] for p in parts])
+                 for f in _ENT_FIELDS}
+    else:
+        ent_b = {f: np.zeros(0, dtype=np.uint64 if f == "kmer" else
+                             np.int64 if f == "id" else np.int32)
+                 for f in _ENT_FIELDS}
+    del parts
+    pk1, pk2, fwd = native.kmer_emit_pairs(ent_b, ioe)
+    del ent_b
+    # centre buckets (contiguous id ranges)
+    n_seq = len(seqdb)
+    per = max(1, -(-n_seq // N_CBUCKETS))
+    cb = (pk1 >> np.uint64(32)).astype(np.int64) // per
+    orderp = np.argsort(cb, kind="stable")
+    pk1s, pk2s, fwds = pk1[orderp], pk2[orderp], fwd[orderp]
+    cb_sorted = cb[orderp]
+    pb = np.searchsorted(cb_sorted, np.arange(N_CBUCKETS + 1))
+    pair_counts = np.zeros(N_CBUCKETS, dtype=np.int64)
+    for b in range(N_CBUCKETS):
+        b0, b1 = int(pb[b]), int(pb[b + 1])
+        pair_counts[b] = b1 - b0
+        _dump(os.path.join(shard_dir, f"pairB_{b}_{process_id}.pkl"),
+              (pk1s[b0:b1], pk2s[b0:b1], fwds[b0:b1]))
+    _dump(os.path.join(shard_dir, f"paircnt_{process_id}.pkl"),
+          pair_counts)
+    del pk1, pk2, fwd, cb, orderp, cb_sorted
+    _stB.__exit__()
+    with subtimer("km.barrierB"):
+        barrier()
+    _stC = subtimer("km.phaseC"); _stC.__enter__()
+
+    # ---- phase C: stable pair sort + result scan per centre span ------
+    ptotals = np.zeros(N_CBUCKETS, dtype=np.int64)
+    for src in range(world):
+        ptotals += _load(os.path.join(shard_dir, f"paircnt_{src}.pkl"))
+    cbounds = _contiguous_partition(ptotals, world)
+    p1s, p2s, fws = [], [], []
+    for b in range(cbounds[process_id], cbounds[process_id + 1]):
+        for src in range(world):
+            a, c, f = _load(os.path.join(shard_dir,
+                                         f"pairB_{b}_{src}.pkl"))
+            p1s.append(a)
+            p2s.append(c)
+            fws.append(f)
+    if p1s:
+        scan = native.kmer_pairs_to_pref(np.concatenate(p1s),
+                                         np.concatenate(p2s),
+                                         np.concatenate(fws), seqdb.keys)
+    else:
+        scan = (np.zeros(0, np.uint32), np.zeros(0, np.uint32),
+                np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.int64), np.zeros(0, np.int64))
+    _dump(os.path.join(shard_dir, f"scanC_{process_id}.pkl"), scan)
+    del p1s, p2s, fws
+    _stC.__exit__()
+    with subtimer("km.barrierC"):
+        barrier()
+    _stD = subtimer("km.assemble"); _stD.__enter__()
+
+    # ---- assemble the full PrefDB on every rank -----------------------
+    qk, tk, sc, dg, grs, gc = [], [], [], [], [], []
+    row_off = 0
+    for src in range(world):
+        s = _load(os.path.join(shard_dir, f"scanC_{src}.pkl"))
+        qk.append(s[0])
+        tk.append(s[1])
+        sc.append(s[2])
+        dg.append(s[3])
+        grs.append(s[4] + row_off)
+        gc.append(s[5])
+        row_off += len(s[0])
+    merged = (np.concatenate(qk), np.concatenate(tk), np.concatenate(sc),
+              np.concatenate(dg), np.concatenate(grs).astype(np.int64),
+              np.concatenate(gc).astype(np.int64))
+    out = _pref_from_scan(seqdb, merged)
+    _stD.__exit__()
+    return out
 
 
 def psum_barrier() -> None:

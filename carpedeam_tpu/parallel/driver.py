@@ -88,17 +88,15 @@ def dist_kmermatcher(dist: DistContext, seqdb, k: int, kps: int,
     range split)."""
     from ..aligndb import PrefDB
 
-    n_shards = n_shards or max(dist.world * 2, 4)
+    from ..utils import subtimer
     sub = os.path.join(dist.shard_dir, f"km_{step}")
-    pref = D.process_kmermatcher(seqdb, (k, kps, scale, only_ext,
-                                         hash_shift), sub,
-                                 dist.rank, dist.world, n_shards,
-                                 barrier=dist.barrier)
-    if dist.rank == 0:
-        pref.save(os.path.join(sub, "pref"))
-    dist.barrier()
-    if pref is None:
-        pref = PrefDB.load(os.path.join(sub, "pref"))
+    with subtimer("dist.km_process"):
+        # fully distributed three-phase kmermatcher; every rank returns
+        # the identical full PrefDB (no rank-0 merge bottleneck)
+        pref = D.process_kmermatcher(seqdb, (k, kps, scale, only_ext,
+                                             hash_shift), sub,
+                                     dist.rank, dist.world,
+                                     barrier=dist.barrier)
     return pref
 
 
@@ -108,42 +106,41 @@ def dist_rescorediagonal(dist: DistContext, seqdb, pref, seq_id_thr,
     count per rank (Util::decomposeDomainByAminoAcid), spill, rank-0
     merge in range order — bit-identical to the full run.  Returns the
     merged AlnDB on rank 0, None elsewhere."""
-    key2id = seqdb.key_to_id()
-    qlens = seqdb.lengths[[key2id[int(kk)] for kk in pref.qkeys]]
-    ranges = D.decompose_by_residue_count(qlens, dist.world)
+    # balance by candidate-pair count per query (the stage cost), not
+    # query residues — prefilter hits are far from uniform per query
+    counts = (pref.starts[1:] - pref.starts[:-1]).astype(np.int64)
+    ranges = D.decompose_by_residue_count(counts, dist.world)
     sub = os.path.join(dist.shard_dir, f"aln_{step}")
     os.makedirs(sub, exist_ok=True)
     lo, hi = ranges[dist.rank]
-    if lo < hi:
-        part = D.rescorediagonal_range(seqdb, pref, seq_id_thr,
-                                       (lo, hi), eval_thr, aln_len_thr)
-        tmp = os.path.join(sub, f"part_{dist.rank}.pkl.tmp")
-        with open(tmp, "wb") as fh:
-            pickle.dump(part, fh)
-        os.replace(tmp, os.path.join(sub, f"part_{dist.rank}.pkl"))
-    dist.barrier()
-    if dist.rank != 0:
-        return None
-    parts = []
-    for r in range(dist.world):
-        p = os.path.join(sub, f"part_{r}.pkl")
-        if os.path.exists(p):
-            with open(p, "rb") as fh:
-                parts.append(pickle.load(fh))
-    return D.merge_aln_ranges(parts)
+    from ..utils import subtimer
+    with subtimer("dist.rescore_range"):
+        if lo < hi:
+            part = D.rescorediagonal_range(seqdb, pref, seq_id_thr,
+                                           (lo, hi), eval_thr, aln_len_thr)
+            tmp = os.path.join(sub, f"part_{dist.rank}.pkl.tmp")
+            with open(tmp, "wb") as fh:
+                pickle.dump(part, fh)
+            os.replace(tmp, os.path.join(sub, f"part_{dist.rank}.pkl"))
+    with subtimer("dist.rescore_barrier"):
+        dist.barrier()
+    with subtimer("dist.rescore_merge"):
+        # EVERY rank merges the spilled parts itself (the merge is a
+        # cheap deterministic concat; duplicating it in parallel beats
+        # the old rank-0-merge + full-AlnDB save/reload round trip)
+        parts = []
+        for r in range(dist.world):
+            p = os.path.join(sub, f"part_{r}.pkl")
+            if os.path.exists(p):
+                with open(p, "rb") as fh:
+                    parts.append(pickle.load(fh))
+        return D.merge_aln_ranges(parts)
 
 
 def dist_broadcast_aln(dist: DistContext, aln, step: int):
-    """Rank 0 saves the merged AlnDB; every rank returns it (the
-    per-query stages below need the full alignment table on all
-    ranks)."""
-    path = os.path.join(dist.shard_dir, f"alnfull_{step}")
-    if dist.rank == 0 and aln is not None:
-        aln.save(path)
-    dist.barrier()
-    if aln is None:
-        from ..aligndb import AlnDB
-        aln = AlnDB.load(path)
+    """Every rank already holds the merged AlnDB (dist_rescorediagonal
+    merges the spilled parts on all ranks); kept for the pipeline's
+    call shape."""
     return aln
 
 
@@ -163,12 +160,17 @@ def dist_apply_by_query_range(dist: DistContext, step: int, tag: str,
     """
     key2id = seqdb.key_to_id()
     qrows = np.array([key2id[int(kk)] for kk in aln.qkeys], dtype=np.int64)
-    qlens = seqdb.lengths[qrows]
-    ranges = D.decompose_by_residue_count(qlens, dist.world)
+    # balance by alignment-record count per query group (the dominant
+    # per-query cost in correction/extension/merging), not residues
+    counts = (aln.starts[1:] - aln.starts[:-1]).astype(np.int64) + 1
+    ranges = D.decompose_by_residue_count(counts, dist.world)
     sub = os.path.join(dist.shard_dir, f"{tag}_{step}")
     os.makedirs(sub, exist_ok=True)
     lo, hi = ranges[dist.rank]
     changed: dict[int, tuple[bytes, bool]] = {}
+    from ..utils import subtimer
+    _st = subtimer(f"dist.apply_{tag}")
+    _st.__enter__()
     if lo < hi:
         out = apply_fn(seqdb, aln.slice_queries(lo, hi))
         for r in qrows[lo:hi]:
@@ -181,7 +183,9 @@ def dist_apply_by_query_range(dist: DistContext, step: int, tag: str,
     with open(tmp, "wb") as fh:
         pickle.dump(changed, fh)
     os.replace(tmp, os.path.join(sub, f"part_{dist.rank}.pkl"))
-    dist.barrier()
+    _st.__exit__()
+    with subtimer(f"dist.apply_{tag}_barrier"):
+        dist.barrier()
     merged: dict[int, tuple[bytes, bool]] = {}
     for r in range(dist.world):
         with open(os.path.join(sub, f"part_{r}.pkl"), "rb") as fh:
