@@ -174,24 +174,45 @@ def _correction_kernel_body(G, t_sym_ref, rscal_ref, slot_sym_ref,
     # scratch instead of 44L so long-contig shapes still fit.
     base_cov = [None] * 4
     lik = [jnp.zeros((G, L), jnp.float32) for _ in range(4)]
-    for t in range(4):
-        for l in range(11):
-            onehot[:, l * L:(l + 1) * L] = \
-                (cls == t * 11 + l).astype(jnp.bfloat16)
-        counts = jax.lax.dot_general(
-            membT, onehot[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (2G, 11L)
-        cov_t = jnp.zeros((G, L), jnp.float32)
-        for l in range(11):
-            c = t * 11 + l
-            Cc = counts[0:G, l * L:(l + 1) * L]
-            Rc = counts[G:2 * G, l * L:(l + 1) * L]
-            F = Cc - Rc
-            cov_t = cov_t + Cc
-            for q in range(4):
-                lik[q] = lik[q] + F * wtab_ref[c, q] \
-                    + Rc * wtab_ref[c, 4 + q]
-        base_cov[t] = cov_t
+    if chunked:
+        # long-contig levels: one (R, L) one-hot matmul per damage class
+        # keeps the scratch + counts linear in L (44 small matmuls
+        # instead of 4 matmuls over an 11L-wide scratch)
+        for t in range(4):
+            cov_t = jnp.zeros((G, L), jnp.float32)
+            for l in range(11):
+                c = t * 11 + l
+                onehot[:, :] = (cls == c).astype(jnp.bfloat16)
+                counts = jax.lax.dot_general(
+                    membT, onehot[:], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # (2G, L)
+                Cc = counts[0:G]
+                Rc = counts[G:2 * G]
+                F = Cc - Rc
+                cov_t = cov_t + Cc
+                for q in range(4):
+                    lik[q] = lik[q] + F * wtab_ref[c, q] \
+                        + Rc * wtab_ref[c, 4 + q]
+            base_cov[t] = cov_t
+    else:
+        for t in range(4):
+            for l in range(11):
+                onehot[:, l * L:(l + 1) * L] = \
+                    (cls == t * 11 + l).astype(jnp.bfloat16)
+            counts = jax.lax.dot_general(
+                membT, onehot[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (2G, 11L)
+            cov_t = jnp.zeros((G, L), jnp.float32)
+            for l in range(11):
+                c = t * 11 + l
+                Cc = counts[0:G, l * L:(l + 1) * L]
+                Rc = counts[G:2 * G, l * L:(l + 1) * L]
+                F = Cc - Rc
+                cov_t = cov_t + Cc
+                for q in range(4):
+                    lik[q] = lik[q] + F * wtab_ref[c, q] \
+                        + Rc * wtab_ref[c, 4 + q]
+            base_cov[t] = cov_t
     tot = base_cov[0] + base_cov[1] + base_cov[2] + base_cov[3]
 
     # candidate-base prior: damage table for original positions,
@@ -241,12 +262,13 @@ def _correction_pallas_device(sym2, rec_rows_t, rscal, slot_qid, qscal,
     t_sym = sym2[rec_rows_t].astype(jnp.int8)       # (nb*R, L) row gathers
     slot_sym = sym2[slot_qid].astype(jnp.int8)      # (nb*G, L)
     L = max_len
+    chunked = _chunked_for(max_len)
 
     def spec(shape, mem=pltpu.VMEM):
         return pl.BlockSpec(shape, lambda i: (i, 0), memory_space=mem)
 
     packed = pl.pallas_call(
-        _make_correction_kernel(G_),
+        _make_correction_kernel(G_, chunked),
         grid=(nb,),
         in_specs=[spec((REC_TILE_, L)), spec((REC_TILE_, 8)),
                   spec((G_, L)), spec((G_, 8)),
@@ -254,7 +276,8 @@ def _correction_pallas_device(sym2, rec_rows_t, rscal, slot_qid, qscal,
                                memory_space=pltpu.SMEM)],
         out_specs=spec((G_ // 4, L)),
         out_shape=jax.ShapeDtypeStruct((nb * G_ // 4, L), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((REC_TILE_, 11 * L), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM(
+            (REC_TILE_, (1 if chunked else 11) * L), jnp.bfloat16)],
         interpret=interpret,
     )(t_sym, rscal, slot_sym, qscal, wtab)
     return packed
@@ -382,9 +405,9 @@ def build_correction_blocks(rec, lengths, n_seqs, g: int = G,
 
 # device length levels for correction: queries run in the narrowest
 # level holding the query AND every target in its surviving stack;
-# beyond the last level (VMEM: the per-base count scratch is 2G x 11L
-# f32) the per-query host oracle takes over.
-CORR_LEN_LEVELS = (512, 2048)
+# levels above 2048 use the layer-chunked kernel (VMEM linear in L);
+# beyond the last level the per-query host oracle takes over.
+CORR_LEN_LEVELS = (512, 2048, 4096, 8192)
 
 
 def _run_correction_level(planes, lens, rec, rows, q_lvl, t_row_lvl,
@@ -598,6 +621,11 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
     # (rare: very long contigs / deep-coverage stacks; exact)
     heavy = np.unique(np.concatenate(heavy_all)) if heavy_all \
         else np.zeros(0, np.int64)
+    if len(heavy):
+        # make silent host fallback visible (device-coverage telemetry)
+        from ..utils import log_info
+        log_info(f"correction: {n - len(heavy)}/{n} queries on device, "
+                 f"{len(heavy)} via host oracle")
 
     def _finish() -> SeqDB:
         for fn in (defer_list or ()):

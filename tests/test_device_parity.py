@@ -273,3 +273,42 @@ def test_correction_pallas_long_contig_levels(damage_model):
     diffs = [i for i in range(len(db))
              if bytes(ora.seq_bytes(i)) != bytes(dev.seq_bytes(i))]
     assert diffs == []
+
+
+def test_correction_pallas_chunked_long_contigs(damage_model):
+    """Levels above 2048 use the layer-chunked kernel (VMEM linear in
+    L); long synthetic contigs through the 4096/8192 device levels must
+    match the host oracle byte-for-byte."""
+    import numpy as np
+
+    import carpedeam_tpu.ops.correction_pallas as CP
+    from carpedeam_tpu.io import SeqDB
+    from carpedeam_tpu.kmer.matcher import kmermatcher
+    from carpedeam_tpu.stages.correction import correction
+    from carpedeam_tpu.stages.rescorediagonal import rescorediagonal
+
+    rng = np.random.default_rng(7)
+    base = rng.choice(list(b"ACGT"), size=6000).astype(np.uint8)
+    seqs = []
+    for _ in range(24):
+        lo = rng.integers(0, 2000)
+        ln = int(rng.integers(2500, 6000 - lo))
+        s = base[lo:lo + ln].copy()
+        idx = rng.random(ln) < 0.01
+        s[idx] = rng.choice(list(b"ACGT"), size=int(idx.sum()))
+        seqs.append(bytes(s))
+    db = SeqDB.from_sequences(seqs)
+    pref = kmermatcher(db, 22, 200, 0.2, False)
+    aln = rescorediagonal(db, pref, seq_id_thr=0.9)
+    ora = correction(db, aln, damage_model, 0.99, 0.9)
+    old = CP.NB_BUCKET
+    CP.NB_BUCKET = 1
+    try:
+        dev = CP.correction_pallas(db, aln, damage_model, 0.99, 0.9)
+    finally:
+        CP.NB_BUCKET = old
+    changed = sum(bytes(ora.seq_bytes(i)) != bytes(db.seq_bytes(i))
+                  for i in range(len(db)))
+    assert changed > 0, "fixture must exercise real corrections"
+    for i in range(len(db)):
+        assert bytes(ora.seq_bytes(i)) == bytes(dev.seq_bytes(i)), i
