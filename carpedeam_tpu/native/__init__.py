@@ -21,7 +21,7 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SOURCES = ["kmer_select.cpp", "host_kernels.cpp", "prepass.cpp",
             "kmer_pairs.cpp", "banded.cpp", "linclust_kernels.cpp",
-            "greedy.cpp"]
+            "greedy.cpp", "ksw_wrap.cpp"]
 _LOCK = threading.Lock()
 _LIB = None
 _BUILD_FAILED = False
@@ -149,6 +149,10 @@ def get_lib():
             _f64, _f64, ctypes.c_int64,
             _u8p, _i64p, _i64p]
         lib.greedy_contig_rounds.restype = None
+        lib.wrapped_banded_align.argtypes = [
+            _u8p, ctypes.c_int64, _u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _i64p]
+        lib.wrapped_banded_align.restype = ctypes.c_int64
         lib.sort_kmer_entries.argtypes = [_u64p, _i64p, _i32p, _i32p,
                                           ctypes.c_int64, _i64p]
         lib.sort_kmer_entries.restype = None
@@ -757,3 +761,24 @@ def kmer_pairs_to_pref(pk1, pk2, fwd, keys):
     return (qkey[:n_rows].copy(), tkey[:n_rows].copy(),
             score[:n_rows].copy(), diag[:n_rows].copy(),
             grs[:g].copy(), gcentre[:g].copy())
+
+
+def wrapped_banded_align(q2codes, tcodes, diag_u, gapo=5, gape=2,
+                         zdrop=40):
+    """BandedNucleotideAligner::align with --wrapped-scoring, replicated
+    bit-exactly over ksw2-extz semantics (native/ksw_wrap.cpp; golden:
+    tools/ksw_golden.cpp vs the vendored ksw2).  Returns dict or None
+    without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros(8, dtype=np.int64)
+    lib.wrapped_banded_align(
+        _as(q2codes, np.uint8, _u8p), len(q2codes),
+        _as(tcodes, np.uint8, _u8p), len(tcodes),
+        int(diag_u), int(gapo), int(gape), int(zdrop),
+        out.ctypes.data_as(_i64p))
+    return {"score": int(out[0]), "qstart": int(out[1]),
+            "qend": int(out[2]), "tstart": int(out[3]),
+            "tend": int(out[4]), "aa_ids": int(out[5]),
+            "aln_len": int(out[6]), "shortcut": bool(out[7])}

@@ -305,6 +305,41 @@ def align_filter(seqdb: SeqDB, pref: PrefDB, seq_id_thr: float,
                     and sid2 >= thr32 and e2 <= eval_thr:
                 accept[r] = True
                 score_out[r] = s2
+
+    # wrapped (circular) gapped rescue: the guided path's align stage
+    # runs the banded nucleotide aligner with --wrapped-scoring
+    # (GuidedNuclassembler.cpp:179; BandedNucleotideAligner.cpp:100-110):
+    # the query is doubled and the banded alignment anchors on the best
+    # LOCAL-score wrapped placement of the prefilter diagonal
+    # (DistanceCalculator::computeUngappedWrappedAlignment), so overlaps
+    # crossing the query's end-start junction can still cluster.
+    fail2 = np.nonzero((valid == 1) & ~accept & (tlen <= L))[0]
+    for r in fail2:
+        qbytes = np.asarray(seqdb.seq_bytes(qid_r[r]), dtype=np.uint8)
+        qb = _CHAR_REVCOMP_X[qbytes][::-1] if is_rev[r] else qbytes
+        tbytes = np.asarray(seqdb.seq_bytes(tid_r[r]), dtype=np.uint8)
+        q2 = CHAR_TO_CODE[np.concatenate([qb, qb])]
+        res = native.wrapped_banded_align(q2, CHAR_TO_CODE[tbytes],
+                                          int(diag_u[r]))
+        if res is None:
+            break                   # no native lib: oracle path covers
+        aln_len2 = res["aln_len"]
+        if aln_len2 <= 0:
+            continue
+        # Matcher::getSWResult / Alignment::checkCriteria acceptance:
+        # seqId = aaIds/backtraceLen, covs from the alignment ends with
+        # the wrapped qCov doubling (BandedNucleotideAligner.cpp:217-223)
+        sid2 = np.float32(res["aa_ids"]) / np.float32(aln_len2)
+        qcov2 = np.float32(res["qend"] - res["qstart"] + 1) \
+            / np.float32(2 * L[r])
+        qcov2 = min(np.float32(1.0), qcov2 * np.float32(2.0))
+        tcov2 = np.float32(res["tend"] - res["tstart"] + 1) \
+            / np.float32(tlen[r])
+        e2 = float(ev.evalue(float(res["score"]), float(L[r]), db_res))
+        if bool(_cov_ok(qcov2, tcov2, cov32, cov_mode)) \
+                and float(sid2) >= seq_id_thr and e2 <= eval_thr:
+            accept[r] = True
+            score_out[r] = res["score"]
     keep = accept | (valid == 2)
     score_final = np.where(valid == 2, (2 * L).astype(np.int64),
                            score_out).astype(np.int32)
@@ -402,6 +437,35 @@ def _align_filter_py(seqdb: SeqDB, pref: PrefDB, seq_id_thr: float,
                     if passes(sid2, qe2 + 1, te2 + 1, s2):
                         accept = True
                         score = s2
+            if not accept and tlen <= L:
+                # wrapped (circular) rescue — see align_filter; the
+                # exact ksw2-extz replica is native-only, so the oracle
+                # shares it (skipped without the toolchain)
+                from .. import native
+                q2 = CHAR_TO_CODE[np.concatenate([qb, qb])]
+                res = native.wrapped_banded_align(q2, CHAR_TO_CODE[tbytes],
+                                                  diag_u)
+                if res is not None and res["aln_len"] > 0:
+                    sid2 = np.float32(res["aa_ids"]) \
+                        / np.float32(res["aln_len"])
+                    qcov2 = np.float32(res["qend"] - res["qstart"] + 1) \
+                        / np.float32(2 * L)
+                    qcov2 = min(np.float32(1.0),
+                                qcov2 * np.float32(2.0))
+                    tcov2 = np.float32(res["tend"] - res["tstart"] + 1) \
+                        / np.float32(tlen)
+                    if cov_mode == 1:
+                        has_cov = tcov2 >= cov_thr
+                    elif cov_mode == 2:
+                        has_cov = qcov2 >= cov_thr
+                    else:
+                        has_cov = qcov2 >= cov_thr and tcov2 >= cov_thr
+                    e2 = float(ev.evalue(float(res["score"]), float(L),
+                                         db_res))
+                    if has_cov and float(sid2) >= seq_id_thr \
+                            and e2 <= eval_thr:
+                        accept = True
+                        score = res["score"]
             if accept:
                 rows["qkey"].append(qkey); rows["tkey"].append(tkey)
                 rows["score"].append(score); rows["diag"].append(int(np.int16(cand)))
