@@ -61,16 +61,34 @@ def damage_rates(prefix: str):
 
 def generate(out: str, n_reads: int, coverage: float, damage_prefix: str,
              seed: int, min_len: int = 35, max_len: int = 120,
-             mean_len: float = 51.0, seq_err: float = 0.001):
+             mean_len: float = 51.0, seq_err: float = 0.001,
+             species: int = 1):
+    """`species` > 1 emulates a mock ancient community (the BASELINE.json
+    10-species configuration): independent random genomes with a
+    log-skewed abundance profile (w_i ~ 2^(-i/2)), reads assigned
+    multinomially, each species sized so its own reads hit `coverage`."""
     rng = np.random.default_rng(seed)
     lengths = np.minimum(
         min_len + rng.exponential(mean_len - min_len, n_reads),
         max_len).astype(np.int64)
     total = int(lengths.sum())
-    genome_len = max(int(total / coverage), max_len + 1)
-    genome = BASES[rng.integers(0, 4, genome_len)]
-
-    starts = rng.integers(0, genome_len - lengths + 1)
+    if species <= 1:
+        genome_len = max(int(total / coverage), max_len + 1)
+        genome = BASES[rng.integers(0, 4, genome_len)]
+        starts = rng.integers(0, genome_len - lengths + 1)
+    else:
+        w = 2.0 ** (-0.5 * np.arange(species))
+        w /= w.sum()
+        sp_of = rng.choice(species, size=n_reads, p=w)
+        res_per = np.bincount(sp_of, weights=lengths,
+                              minlength=species).astype(np.int64)
+        glens = np.maximum((res_per / coverage).astype(np.int64),
+                           max_len + 1)
+        goff = np.concatenate([[0], np.cumsum(glens)])
+        genome = BASES[rng.integers(0, 4, int(goff[-1]))]
+        genome_len = int(goff[-1])
+        starts = goff[sp_of] + rng.integers(
+            0, glens[sp_of] - lengths + 1)
     strands = rng.integers(0, 2, n_reads).astype(bool)  # True = '-'
 
     # flat gather of all read windows
@@ -137,9 +155,13 @@ def main():
     ap.add_argument("--damage",
                     default="/root/reference/example/dhigh")
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--species", type=int, default=1,
+                    help="mock-community mode: N independent genomes "
+                         "with a log-skewed abundance profile")
     args = ap.parse_args()
     total, genome_len = generate(args.out, args.reads, args.coverage,
-                                 args.damage, args.seed)
+                                 args.damage, args.seed,
+                                 species=args.species)
     print(f"wrote {args.out}: {args.reads} reads, {total} residues, "
           f"genome {genome_len} bp, coverage {total / genome_len:.1f}x")
 
