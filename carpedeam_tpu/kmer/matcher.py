@@ -130,7 +130,10 @@ def extract_selected_kmers_batched(seqdb: SeqDB, k: int,
                 block, k, kmers_per_sequence, kmers_per_sequence_scale,
                 hash_shift, hash_range)
             ent["id"] = ent["id"] + start
-            outs.append(ent)
+            # the native extractor hands out POOLED buffers (valid until
+            # its next call): blocks held across calls must own copies
+            outs.append({k_: np.array(v, copy=True)
+                         for k_, v in ent.items()})
             start = end
         return {key: np.concatenate([o[key] for o in outs])
                 for key in outs[0]}

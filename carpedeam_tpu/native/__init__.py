@@ -62,6 +62,24 @@ def _as(arr, dtype, ptr):
     return np.ascontiguousarray(arr, dtype=dtype).ctypes.data_as(ptr)
 
 
+# Grow-only buffer pool for the per-iteration hot-path scratch arrays.
+# First-touch page faults cost ~14s/GB on the measurement VM, so
+# re-allocating multi-GB buffers every assembly iteration dominated
+# large-scale runs; pooled buffers fault once and stay warm.  CONTRACT:
+# a pooled buffer is valid only until the same pool name is requested
+# again — callers must not hold pooled views across stage calls.
+_POOL: dict[str, np.ndarray] = {}
+
+
+def pool_array(name: str, n: int, dtype) -> np.ndarray:
+    n = int(n)
+    a = _POOL.get(name)
+    if a is None or a.dtype != np.dtype(dtype) or len(a) < n:
+        a = np.zeros(max(int(n * 1.25) + 16, 1024), dtype=dtype)
+        _POOL[name] = a
+    return a[:n]
+
+
 def get_lib():
     """Returns the loaded native library, or None (callers fall back to
     the pure-Python implementations)."""
@@ -216,7 +234,7 @@ def score_pairs(data, offsets, lengths, qid, tid, diag,
     if lib is None:
         return None
     n = len(qid)
-    out = {k: np.zeros(n, dtype=np.int32)
+    out = {k: pool_array("sp." + k, n, np.int32)
            for k in ("score", "qstart", "qend", "tstart", "tend",
                      "aln_len", "id_cnt")}
     lib.score_pairs(
@@ -239,12 +257,12 @@ def build_pref_scan(c, f, m, d, keys) -> tuple | None:
     _u32p = ctypes.POINTER(ctypes.c_uint32)
     n = len(c)
     cap = 2 * n + 2
-    qkey = np.zeros(cap, dtype=np.uint32)
-    tkey = np.zeros(cap, dtype=np.uint32)
-    score = np.zeros(cap, dtype=np.int32)
-    diag = np.zeros(cap, dtype=np.int32)
-    grs = np.zeros(n + 1, dtype=np.int64)
-    gc = np.zeros(n + 1, dtype=np.int64)
+    qkey = pool_array("bp.qkey", cap, np.uint32)
+    tkey = pool_array("bp.tkey", cap, np.uint32)
+    score = pool_array("bp.score", cap, np.int32)
+    diag = pool_array("bp.diag", cap, np.int32)
+    grs = pool_array("bp.grs", n + 1, np.int64)
+    gc = pool_array("bp.gc", n + 1, np.int64)
     ng = np.zeros(1, dtype=np.int64)
     n_rows = lib.build_pref_scan(
         _as(c, np.int64, _i64p), _as(f, np.uint8, _u8p),
@@ -308,13 +326,13 @@ def contig_prepass(data, offsets, lengths, qid, tid, is_rev, qs, qe, ts, te,
     n = len(qid)
     _f64p = ctypes.POINTER(ctypes.c_double)
     out = {
-        "idc": np.zeros(n, dtype=np.int64),
-        "ryc": np.zeros(n, dtype=np.int64),
-        "cand": np.zeros(n, dtype=np.uint8),
-        "seq_id": np.zeros(n, dtype=np.float64),
-        "ry_seq_id": np.zeros(n, dtype=np.float64),
-        "aln_len_cons": np.zeros(n, dtype=np.int64),
-        "deam_match": np.zeros(n, dtype=np.float64),
+        "idc": pool_array("cp.idc", n, np.int64),
+        "ryc": pool_array("cp.ryc", n, np.int64),
+        "cand": pool_array("cp.cand", n, np.uint8),
+        "seq_id": pool_array("cp.seq_id", n, np.float64),
+        "ry_seq_id": pool_array("cp.ry_seq_id", n, np.float64),
+        "aln_len_cons": pool_array("cp.alc", n, np.int64),
+        "deam_match": pool_array("cp.deam", n, np.float64),
     }
     lib.contig_prepass(
         _as(data, np.uint8, _u8p), _as(offsets, np.int64, _i64p),
@@ -346,16 +364,16 @@ def read_prepass(data, offsets, lengths, qid, tid, qs, qe, ts, te, alen,
     n = len(qid)
     _f64p = ctypes.POINTER(ctypes.c_double)
     out = {
-        "idc": np.zeros(n, dtype=np.int64),
-        "ryc": np.zeros(n, dtype=np.int64),
-        "cand": np.zeros(n, dtype=np.uint8),
-        "seq_id": np.zeros(n, dtype=np.float64),
-        "ry_seq_id": np.zeros(n, dtype=np.float64),
-        "cons_total": np.zeros(n, dtype=np.int64),
-        "cons_valid": np.zeros(n, dtype=np.uint8),
-        "cons_left": np.zeros(n, dtype=np.uint8),
-        "lik_mod": np.zeros(n, dtype=np.float64),
-        "aln_count": np.zeros(n, dtype=np.int64),
+        "idc": pool_array("rp.idc", n, np.int64),
+        "ryc": pool_array("rp.ryc", n, np.int64),
+        "cand": pool_array("rp.cand", n, np.uint8),
+        "seq_id": pool_array("rp.seq_id", n, np.float64),
+        "ry_seq_id": pool_array("rp.ry_seq_id", n, np.float64),
+        "cons_total": pool_array("rp.cons_total", n, np.int64),
+        "cons_valid": pool_array("rp.cons_valid", n, np.uint8),
+        "cons_left": pool_array("rp.cons_left", n, np.uint8),
+        "lik_mod": pool_array("rp.lik_mod", n, np.float64),
+        "aln_count": pool_array("rp.aln_count", n, np.int64),
     }
     lib.read_prepass(
         _as(data, np.uint8, _u8p), _as(offsets, np.int64, _i64p),
@@ -420,10 +438,10 @@ def kmer_extract(data, offsets, lengths, k: int, seed: int,
     cap = np.maximum(lengths - k + 1, 0) + 1
     out_offsets = np.concatenate([[0], np.cumsum(cap)]).astype(np.int64)
     total_cap = int(out_offsets[-1])
-    kmer_o = np.zeros(total_cap, dtype=np.uint64)
-    pos_o = np.zeros(total_cap, dtype=np.int32)
-    h16_o = np.zeros(total_cap, dtype=np.uint16)
-    count_o = np.zeros(n_seqs, dtype=np.int64)
+    kmer_o = pool_array("ke.kmer_o", total_cap, np.uint64)
+    pos_o = pool_array("ke.pos_o", total_cap, np.int32)
+    h16_o = pool_array("ke.h16_o", total_cap, np.uint16)
+    count_o = pool_array("ke.count_o", n_seqs, np.int64)
     lib.kmer_extract(
         _as(data, np.uint8, _u8p), _as(offsets, np.int64, _i64p),
         lengths.ctypes.data_as(_i64p), n_seqs, k, ctypes.c_uint64(seed),
@@ -434,11 +452,11 @@ def kmer_extract(data, offsets, lengths, k: int, seed: int,
     # compact the per-sequence regions (native parallel memcpy)
     dst_offsets = np.concatenate([[0], np.cumsum(count_o)]).astype(np.int64)
     n_total = int(dst_offsets[-1])
-    kmer_c = np.empty(n_total, dtype=np.uint64)
-    id_c = np.empty(n_total, dtype=np.int64)
-    pos_c = np.empty(n_total, dtype=np.int32)
-    len_c = np.empty(n_total, dtype=np.int32)
-    h16_c = np.empty(n_total, dtype=np.uint16)
+    kmer_c = pool_array("ke.kmer_c", n_total, np.uint64)
+    id_c = pool_array("ke.id_c", n_total, np.int64)
+    pos_c = pool_array("ke.pos_c", n_total, np.int32)
+    len_c = pool_array("ke.len_c", n_total, np.int32)
+    h16_c = pool_array("ke.h16_c", n_total, np.uint16)
     lib.kmer_compact(
         kmer_o.ctypes.data_as(_u64p), pos_o.ctypes.data_as(_i32p),
         h16_o.ctypes.data_as(_u16p), out_offsets.ctypes.data_as(_i64p),
@@ -468,12 +486,12 @@ def kmermatcher_scan(kmer, ids, pos, seq_len, keys,
     _u32p = ctypes.POINTER(ctypes.c_uint32)
     n = len(kmer)
     cap = 2 * n + 2
-    qkey = np.zeros(cap, dtype=np.uint32)
-    tkey = np.zeros(cap, dtype=np.uint32)
-    score = np.zeros(cap, dtype=np.int32)
-    diag = np.zeros(cap, dtype=np.int32)
-    grs = np.zeros(n + 1, dtype=np.int64)
-    gc = np.zeros(n + 1, dtype=np.int64)
+    qkey = pool_array("ks.qkey", cap, np.uint32)
+    tkey = pool_array("ks.tkey", cap, np.uint32)
+    score = pool_array("ks.score", cap, np.int32)
+    diag = pool_array("ks.diag", cap, np.int32)
+    grs = pool_array("ks.grs", n + 1, np.int64)
+    gc = pool_array("ks.gc", n + 1, np.int64)
     ng = np.zeros(1, dtype=np.int64)
     n_rows = lib.kmermatcher_scan(
         _as(kmer, np.uint64, _u64p), _as(ids, np.int64, _i64p),
@@ -618,8 +636,8 @@ def greedy_read_rounds(seqdb, q_ids, row_ptr, rows, max_left, max_right,
                      max_seq_len) if len(tl64) else \
         np.minimum(seqdb.lengths[q_ids].astype(np.int64), max_seq_len)
     arena_off = np.concatenate([[0], np.cumsum(cap)]).astype(np.int64)
-    arena = np.zeros(int(arena_off[-1]), dtype=np.uint8)
-    out_len = np.zeros(nq, dtype=np.int64)
+    arena = pool_array("gr.arena", int(arena_off[-1]), np.uint8)
+    out_len = pool_array("gr.out_len", nq, np.int64)
     _f64p2 = ctypes.POINTER(ctypes.c_double)
     lib.greedy_read_rounds(
         _as(seqdb.data, np.uint8, _u8p),
@@ -663,8 +681,8 @@ def greedy_contig_rounds(seqdb, q_ids, row_ptr, rows, merge_thr, ry_thr,
                         * (cnt > 0) if len(tl64) else 0),
                      max_seq_len)
     arena_off = np.concatenate([[0], np.cumsum(cap)]).astype(np.int64)
-    arena = np.zeros(int(arena_off[-1]), dtype=np.uint8)
-    out_len = np.zeros(nq, dtype=np.int64)
+    arena = pool_array("gc.arena", int(arena_off[-1]), np.uint8)
+    out_len = pool_array("gc.out_len", nq, np.int64)
     _f64p2 = ctypes.POINTER(ctypes.c_double)
     lib.greedy_contig_rounds(
         _as(seqdb.data, np.uint8, _u8p),

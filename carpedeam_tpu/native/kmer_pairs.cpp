@@ -52,45 +52,55 @@ void radix_sort_u64_u32(std::vector<uint64_t> &keys,
         if (n_chunks > 8) n_chunks = 8;
     }
 #endif
+    // Digit width adapts to the table size: 16-bit digits (65536 open
+    // write streams) are fastest while the table fits the cache/TLB
+    // reach, but thrash the TLB on multi-GB tables (the 5M-read scale
+    // ran the scatter ~4x slower per element than the 120k scale);
+    // 8-bit digits keep 256 streams and scale flat.
+    const int digit_bits = n > (48 << 20) ? 8 : 16;
+    const int n_buckets = 1 << digit_bits;
+    const uint64_t digit_mask = (uint64_t)n_buckets - 1;
+    const int total_passes =
+        (passes * 16 + digit_bits - 1) / digit_bits;
     // per-(chunk, digit) histograms; stable parallel scatter: global
     // position = digits before mine + same-digit items in earlier chunks
-    std::vector<int64_t> hists((size_t)n_chunks * 65536);
-    for (int pass = 0; pass < passes; pass++) {
-        const int shift = pass * 16;
+    std::vector<int64_t> hists((size_t)n_chunks * n_buckets);
+    for (int pass = 0; pass < total_passes; pass++) {
+        const int shift = pass * digit_bits;
         std::memset(hists.data(), 0,
-                    (size_t)n_chunks * 65536 * sizeof(int64_t));
+                    (size_t)n_chunks * n_buckets * sizeof(int64_t));
 #pragma omp parallel for schedule(static, 1)
         for (int t = 0; t < n_chunks; t++) {
-            int64_t *h = hists.data() + (size_t)t * 65536;
+            int64_t *h = hists.data() + (size_t)t * n_buckets;
             const int64_t lo = n * t / n_chunks,
                           hi = n * (t + 1) / n_chunks;
             for (int64_t i = lo; i < hi; i++)
-                h[(k_src[i] >> shift) & 0xFFFF]++;
+                h[(k_src[i] >> shift) & digit_mask]++;
         }
         bool constant = false;
         {
-            const int d0 = (int)((k_src[0] >> shift) & 0xFFFF);
+            const int d0 = (int)((k_src[0] >> shift) & digit_mask);
             int64_t tot = 0;
             for (int t = 0; t < n_chunks; t++)
-                tot += hists[(size_t)t * 65536 + d0];
+                tot += hists[(size_t)t * n_buckets + d0];
             constant = tot == n;
         }
         if (constant) continue;
         int64_t run = 0;
-        for (int d = 0; d < 65536; d++)
+        for (int d = 0; d < n_buckets; d++)
             for (int t = 0; t < n_chunks; t++) {
-                int64_t &h = hists[(size_t)t * 65536 + d];
+                int64_t &h = hists[(size_t)t * n_buckets + d];
                 const int64_t c = h;
                 h = run;
                 run += c;
             }
 #pragma omp parallel for schedule(static, 1)
         for (int t = 0; t < n_chunks; t++) {
-            int64_t *h = hists.data() + (size_t)t * 65536;
+            int64_t *h = hists.data() + (size_t)t * n_buckets;
             const int64_t lo = n * t / n_chunks,
                           hi = n * (t + 1) / n_chunks;
             for (int64_t i = lo; i < hi; i++) {
-                const int64_t j = h[(k_src[i] >> shift) & 0xFFFF]++;
+                const int64_t j = h[(k_src[i] >> shift) & digit_mask]++;
                 k_dst[j] = k_src[i];
                 p_dst[j] = p_src[i];
             }
@@ -161,15 +171,20 @@ int64_t kmer_emit_pairs(
     // equal-key group (rep selection + emission order), so it is applied
     // there with tiny per-group sorts instead.  The resulting total order
     // is exactly np.lexsort((pos, tie, key)) -- the Python oracle's.
-    std::vector<uint64_t> ekey(n);
-    std::vector<uint32_t> eidx(n);
+    // persistent grow-only buffers (first-touch page faults cost ~14s/GB
+    // on the measurement VM; per-call allocation dominated 5M-scale runs).
+    // Single-caller contract: the Python layer serialises scan calls.
+    static std::vector<uint64_t> ekey;
+    static std::vector<uint32_t> eidx;
+    ekey.resize(n);
+    eidx.resize(n);
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; i++) {
         ekey[i] = kmer[i] | (1ull << 63);
         eidx[i] = (uint32_t)i;
     }
     {
-        RadixScratch scratch;
+        static RadixScratch scratch;
         radix_sort_u64_u32(ekey, eidx, scratch);
     }
 
@@ -201,17 +216,51 @@ int64_t kmer_emit_pairs(
         std::vector<uint32_t> k2;
         std::vector<uint8_t> fwd;
     };
-    std::vector<Emit> emits(n_chunks);
+    static std::vector<Emit> emits;
+    emits.resize(n_chunks);
 #pragma omp parallel for schedule(static, 1)
     for (int t = 0; t < n_chunks; t++) {
         Emit &em = emits[t];
         em.k1.reserve((size_t)(chunk_lo[t + 1] - chunk_lo[t]));
         std::vector<std::pair<uint64_t, int64_t>> grp;  // (tie, orig row)
         int64_t g0 = chunk_lo[t];
+        auto emit_one = [&](Emit &em_, int64_t rep, bool rep_is_rev,
+                            int64_t rep_len, int64_t e) {
+            const bool tgt_is_rev = (kmer[e] >> 63) == 0;
+            const int64_t t_len = seq_len[e];
+            const int64_t q_pos =
+                tgt_is_rev ? rep_len - 1 - pos[rep] : pos[rep];
+            const int64_t t_pos_adj =
+                tgt_is_rev ? t_len - 1 - pos[e] : pos[e];
+            const int64_t diagonal = q_pos - t_pos_adj;
+            bool keep;
+            if (include_only_extendable) {
+                keep = (diagonal < 0) || (diagonal > rep_len - t_len);
+            } else {
+                keep = can_cover((int)cov_mode, cov_thr,
+                                 (float)rep_len, (float)t_len);
+            }
+            if (!keep) return;
+            em_.k1.push_back(((uint64_t)(uint32_t)id[rep] << 32) |
+                             (uint64_t)(uint32_t)id[e]);
+            em_.k2.push_back((uint32_t)(int32_t)diagonal ^ 0x80000000u);
+            em_.fwd.push_back((uint8_t)(!(rep_is_rev ^ tgt_is_rev)));
+        };
         while (g0 < chunk_lo[t + 1]) {
             int64_t g1 = g0 + 1;
             while (g1 < n && ekey[g1] == ekey[g0]) g1++;
-            if (g1 - g0 > 1) {
+            if (g1 - g0 == 2) {
+                // dominant case: pair group — order by (tie, pos)
+                // without the vector + sort machinery
+                int64_t a = (int64_t)eidx[g0], b = (int64_t)eidx[g0 + 1];
+                const uint64_t ta = tie_of(a), tb = tie_of(b);
+                if (tb < ta || (tb == ta && pos[b] < pos[a]))
+                    std::swap(a, b);
+                const bool rep_is_rev = (kmer[a] >> 63) == 0;
+                const int64_t rep_len = seq_len[a];
+                emit_one(em, a, rep_is_rev, rep_len, a);
+                emit_one(em, a, rep_is_rev, rep_len, b);
+            } else if (g1 - g0 > 2) {
                 grp.clear();
                 for (int64_t i = g0; i < g1; i++)
                     grp.emplace_back(tie_of(eidx[i]), (int64_t)eidx[i]);
@@ -224,35 +273,14 @@ int64_t kmer_emit_pairs(
                 const int64_t rep = grp[0].second;
                 const bool rep_is_rev = (kmer[rep] >> 63) == 0;
                 const int64_t rep_len = seq_len[rep];
-                for (size_t gi = 0; gi < grp.size(); gi++) {
-                    const int64_t e = grp[gi].second;
-                    const bool tgt_is_rev = (kmer[e] >> 63) == 0;
-                    const int64_t t_len = seq_len[e];
-                    const int64_t q_pos =
-                        tgt_is_rev ? rep_len - 1 - pos[rep] : pos[rep];
-                    const int64_t t_pos_adj =
-                        tgt_is_rev ? t_len - 1 - pos[e] : pos[e];
-                    const int64_t diagonal = q_pos - t_pos_adj;
-                    bool keep;
-                    if (include_only_extendable) {
-                        keep = (diagonal < 0) || (diagonal > rep_len - t_len);
-                    } else {
-                        keep = can_cover((int)cov_mode, cov_thr,
-                                         (float)rep_len, (float)t_len);
-                    }
-                    if (!keep) continue;
-                    em.k1.push_back(((uint64_t)(uint32_t)id[rep] << 32) |
-                                    (uint64_t)(uint32_t)id[e]);
-                    em.k2.push_back((uint32_t)(int32_t)diagonal ^
-                                    0x80000000u);
-                    em.fwd.push_back((uint8_t)(!(rep_is_rev ^ tgt_is_rev)));
-                }
+                for (size_t gi = 0; gi < grp.size(); gi++)
+                    emit_one(em, rep, rep_is_rev, rep_len,
+                             grp[gi].second);
             }
             g0 = g1;
         }
     }
-    ekey.clear(); ekey.shrink_to_fit();
-    eidx.clear(); eidx.shrink_to_fit();
+    // (ekey/eidx keep their capacity for the next call)
     int64_t np = 0;
     for (int t = 0; t < n_chunks; t++) np += (int64_t)emits[t].k1.size();
     {
@@ -265,9 +293,9 @@ int64_t kmer_emit_pairs(
                         cn * sizeof(uint32_t));
             std::memcpy(pfwd_o + off, emits[t].fwd.data(), (size_t)cn);
             off += cn;
-            std::vector<uint64_t>().swap(emits[t].k1);
-            std::vector<uint32_t>().swap(emits[t].k2);
-            std::vector<uint8_t>().swap(emits[t].fwd);
+            emits[t].k1.clear();      // keep capacity
+            emits[t].k2.clear();
+            emits[t].fwd.clear();
         }
     }
     lap("group walk + emit");
@@ -298,7 +326,8 @@ int64_t kmer_pairs_to_pref(
     // radix of ceil(bits/16) passes replaces the generic 6-pass
     // two-stage compose; order is (centre, member, diag) lexicographic
     // with emission order preserved on ties either way.
-    std::vector<uint32_t> pidx(np);
+    static std::vector<uint32_t> pidx;
+    pidx.resize(np);
     {
         uint64_t max_c = 0, max_m = 0;
         uint32_t min_k2 = 0xFFFFFFFFu, max_k2 = 0;
@@ -314,8 +343,9 @@ int64_t kmer_pairs_to_pref(
         };
         const int bc = bits_of(max_c), bm = bits_of(max_m),
                   bd = bits_of((uint64_t)(max_k2 - min_k2));
-        RadixScratch scratch;
-        std::vector<uint64_t> skey(np);
+        static RadixScratch scratch;
+        static std::vector<uint64_t> skey;
+        skey.resize(np);
         if (np && bc + bm + bd <= 64) {
             const int passes = (bc + bm + bd + 15) / 16;
 #pragma omp parallel for schedule(static)
@@ -340,9 +370,13 @@ int64_t kmer_pairs_to_pref(
 
     lap("pair radix");
     // ---- writeKmerMatcherResult scan ------------------------------------
-    std::vector<int64_t> c(np), m(np);
-    std::vector<uint8_t> f(np);
-    std::vector<int32_t> d(np);
+    static std::vector<int64_t> c, m;
+    static std::vector<uint8_t> f;
+    static std::vector<int32_t> d;
+    c.resize(np);
+    m.resize(np);
+    f.resize(np);
+    d.resize(np);
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < np; i++) {
         const uint64_t k1 = pk1[pidx[i]];
@@ -351,7 +385,6 @@ int64_t kmer_pairs_to_pref(
         d[i] = (int32_t)(pk2[pidx[i]] ^ 0x80000000u);
         f[i] = pfwd[pidx[i]];
     }
-    std::vector<uint32_t>().swap(pidx);
     lap("column fill");
     const int64_t ret = build_pref_scan(c.data(), f.data(), m.data(), d.data(), np,
                            keys, qkey_o, tkey_o, score_o, diag_o,
@@ -369,9 +402,12 @@ int64_t kmermatcher_scan(
     uint32_t *qkey_o, uint32_t *tkey_o, int32_t *score_o, int32_t *diag_o,
     int64_t *group_row_start, int64_t *group_centre, int64_t *n_groups_o)
 {
-    std::vector<uint64_t> pk1((size_t)n);
-    std::vector<uint32_t> pk2((size_t)n);
-    std::vector<uint8_t> pfwd((size_t)n);
+    static std::vector<uint64_t> pk1;
+    static std::vector<uint32_t> pk2;
+    static std::vector<uint8_t> pfwd;
+    pk1.resize((size_t)n);
+    pk2.resize((size_t)n);
+    pfwd.resize((size_t)n);
     const int64_t np = kmer_emit_pairs(
         kmer, id, pos, seq_len, n, include_only_extendable, cov_mode,
         cov_thr, pk1.data(), pk2.data(), pfwd.data());

@@ -188,7 +188,10 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
         re-upload per stage is measurable)."""
         return _shared_from(_planes_prefetch(db))
     from .utils import StageTimer
-    timer = StageTimer(log if params.verbosity >= 4 else None)
+    timer = StageTimer(
+        log if (params.verbosity >= 4
+                or os.environ.get("CARPEDEAM_SUBTIMING", "0") != "0")
+        else None)
     cur = reads
     cycle_all: dict[int, bytes] = {}   # accumulated circular contigs
     cycle_ext: dict[int, bool] = {}
