@@ -124,13 +124,16 @@ def get_lib():
             _u8p, ctypes.c_int64, _f32, _f32, _f64p, _f64p,
             _i64p, _i64p, _u8p, _f64p, _f64p, _i64p, _f64p]
         lib.contig_prepass.restype = None
+        _ldp = ctypes.POINTER(ctypes.c_longdouble)
         lib.read_prepass.argtypes = [
             _u8p, _i64p, _i64p, ctypes.c_int64,
             _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
             _u8p, _u8p, ctypes.c_int64, _f32, _f64p,
             _i64p, _i64p, _u8p, _f64p, _f64p,
-            _i64p, _u8p, _u8p, _f64p, _i64p]
+            _i64p, _u8p, _u8p, _ldp, _i64p]
         lib.read_prepass.restype = None
+        lib.lik_ratio_ld.argtypes = [_f64p, _ldp, ctypes.c_int64, _f64p]
+        lib.lik_ratio_ld.restype = None
         lib.correction_groups.argtypes = [
             _u8p, _i64p, _i64p, _u8p, ctypes.c_int64,
             _i64p, _i32p, _i32p, _u8p, _i32p, _i32p, _i32p, _u8p, _i32p,
@@ -372,7 +375,7 @@ def read_prepass(data, offsets, lengths, qid, tid, qs, qe, ts, te, alen,
         "cons_total": pool_array("rp.cons_total", n, np.int64),
         "cons_valid": pool_array("rp.cons_valid", n, np.uint8),
         "cons_left": pool_array("rp.cons_left", n, np.uint8),
-        "lik_mod": pool_array("rp.lik_mod", n, np.float64),
+        "lik_mod": pool_array("rp.lik_mod", n, np.longdouble),
         "aln_count": pool_array("rp.aln_count", n, np.int64),
     }
     lib.read_prepass(
@@ -391,11 +394,29 @@ def read_prepass(data, offsets, lengths, qid, tid, qs, qe, ts, te, alen,
         out["cons_total"].ctypes.data_as(_i64p),
         out["cons_valid"].ctypes.data_as(_u8p),
         out["cons_left"].ctypes.data_as(_u8p),
-        out["lik_mod"].ctypes.data_as(_f64p),
+        out["lik_mod"].ctypes.data_as(ctypes.POINTER(ctypes.c_longdouble)),
         out["aln_count"].ctypes.data_as(_i64p))
     out["cand"] = out["cand"].astype(bool)
     out["cons_valid"] = out["cons_valid"].astype(bool)
     out["cons_left"] = out["cons_left"].astype(bool)
+    return out
+
+
+def lik_ratio_ld(rand_aln: np.ndarray, lik_ld: np.ndarray) -> np.ndarray | None:
+    """sRatio = double(1.0L/(1.0L+expl(randAln - likMod))) per record with
+    glibc expl (the reference's nuclassembleUtil.cpp:340; numpy's longdouble
+    exp differs in the last ulp).  lik_ld includes the excess penalty."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(lik_ld)
+    _f64p = ctypes.POINTER(ctypes.c_double)
+    out = np.empty(n, dtype=np.float64)
+    ra = np.ascontiguousarray(rand_aln, dtype=np.float64)
+    ld = np.ascontiguousarray(lik_ld, dtype=np.longdouble)
+    lib.lik_ratio_ld(ra.ctypes.data_as(_f64p),
+                     ld.ctypes.data_as(ctypes.POINTER(ctypes.c_longdouble)),
+                     n, out.ctypes.data_as(_f64p))
     return out
 
 

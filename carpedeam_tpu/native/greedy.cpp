@@ -12,9 +12,11 @@
 // Exactness contract (the Python loops remain the oracle, pinned by
 // tests/test_native_greedy.py):
 //   * float steps replicate NumPy's f32 ops (seqId ratios, realign denom);
-//   * likelihood sums replicate np.sum's PAIRWISE summation (np_pairwise_sum
-//     below mirrors numpy's pairwise_sum_DOUBLE, 8-accumulator blocks of
-//     128) so re-scored values bit-match ops/likelihood.py;
+//   * likelihood sums use the reference's exact precision: sequential
+//     80-bit (long double) accumulation of double per-column logs with f32
+//     penalty terms and an expl ratio (nuclassembleUtil.cpp:212-341) —
+//     last-ulp sLenNorm distinctions decide queue ties at 5M scale;
+//     np_pairwise_sum below remains for the Beta-queue contig path;
 //   * the priority queue is std::priority_queue (the Python CppPriorityQueue
 //     replicates libstdc++'s heap, so pop order incl. ties is identical);
 //   * lgamma/log/exp go through libm exactly like CPython's math module.
@@ -59,8 +61,10 @@ struct GTables {
 };
 const GTables GT;
 
-// numpy's pairwise_sum_DOUBLE for a contiguous f64 buffer (PW_BLOCKSIZE=128)
-double np_pairwise_sum(const double *a, int64_t n) {
+// numpy's pairwise_sum_DOUBLE for a contiguous f64 buffer (PW_BLOCKSIZE=128);
+// no longer on the reads-likelihood path (that is exact long double now) but
+// kept for any future NumPy-bit-matching need
+[[maybe_unused]] double np_pairwise_sum(const double *a, int64_t n) {
     if (n < 8) {
         double res = 0.;
         for (int64_t i = 0; i < n; i++) res += a[i];
@@ -202,7 +206,6 @@ inline void calc_likelihood(const Cand *c, const uint8_t *query,
     const bool left_start = c->qstart == 0 && c->tend == c->tlen - 1;
     const int64_t offset = c->tlen - c->aln_len;
     const int64_t cons_start = qlen - offset;
-    double lik_mod = 0.0;
     int64_t ac = 0;
     if ((left_start || right_start) && cons_start >= 0) {
         const int64_t base = left_start
@@ -225,13 +228,17 @@ inline void calc_likelihood(const Cand *c, const uint8_t *query,
             buf.push_back(logm[(lay * 4 + GT.acgt[cons]) * 4 + GT.acgt[tb]]);
         }
         ac = (int64_t)buf.size();
-        lik_mod = np_pairwise_sum(buf.data(), ac);
     }
+    // exact reference precision (nuclassembleUtil.cpp:212-341): sequential
+    // 80-bit accumulation of the double per-column logs; f32 penalty terms
+    // (log_rand/log_excess arrive as logf values); ratio through expl
+    long double lm = 0.0L;
+    for (int64_t i = 0; i < ac; i++) lm += buf[i];
     const int64_t excess = max_aln - ac;
-    lik_mod += (double)excess * log_excess;
-    const double rand_aln = (double)max_aln * log_rand;
-    *sln_o = lik_mod;
-    *ratio_o = 1.0 / (1.0 + exp(rand_aln - lik_mod));
+    lm += (long double)((float)excess * (float)log_excess);
+    const double rand_aln = (double)((float)max_aln * (float)log_rand);
+    *sln_o = (double)lm;
+    *ratio_o = (double)(1.0L / (1.0L + expl((long double)rand_aln - lm)));
 }
 
 // growable query buffer with left headroom

@@ -9,8 +9,18 @@
 // the lane-structured row-max tie behaviour and the z-drop rule —
 // followed by BandedNucleotideAligner's anchor flow: ungapped wrapped
 // local placement, reverse extension from the anchor end, forward
-// extension with traceback, identity count over the cigar.  Written
-// from the algorithm's definition; no code is copied.
+// extension with traceback, identity count over the cigar.
+//
+// Provenance: `extz_scalar` is an independent scalar re-derivation of the
+// SSE kernel's semantics (explicit lane emulation replacing the vector
+// ops).  `backtrack` below is a DERIVATIVE of ksw2's `ksw_backtrack`
+// (ksw2.h, MIT License, Copyright (c) 2018- Dana-Farber Cancer
+// Institute, 2017-2018 Broad Institute, Inc.) specialised to
+// is_rot=1/is_rev=0/with_N=0 — the traceback state machine follows that
+// function's structure because byte-identical cigars (and therefore
+// byte-identical final FASTA) require its exact tie behaviour.  Used and
+// redistributed under the MIT license terms; see
+// lib/mmseqs/lib/ksw2/LICENSE.txt in the reference distribution.
 
 #include <cmath>
 #include <cstdint>
@@ -56,7 +66,8 @@ inline void push_cigar(std::vector<uint32_t> &cig, uint32_t op,
         cig.back() += len << 4;
 }
 
-// ksw_backtrack with is_rot=1, is_rev=0, with_N=0
+// ksw_backtrack with is_rot=1, is_rev=0, with_N=0 — derivative of ksw2's
+// MIT-licensed ksw_backtrack (see provenance note in the file header)
 void backtrack(const std::vector<uint8_t> &p, const std::vector<int> &off,
                const std::vector<int> &off_end, int n_col, int i0, int j0,
                std::vector<uint32_t> &cigar) {

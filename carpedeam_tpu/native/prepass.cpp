@@ -241,7 +241,7 @@ void read_prepass(
     int64_t *idc_o, int64_t *ryc_o, uint8_t *cand_o,
     double *seq_id_o, double *ry_seq_id_o,
     int64_t *cons_total_o, uint8_t *cons_valid_o, uint8_t *cons_left_o,
-    double *lik_mod_o, int64_t *aln_count_o)
+    long double *lik_mod_o, int64_t *aln_count_o)
 {
 #pragma omp parallel for schedule(dynamic, 64)
     for (int64_t r = 0; r < n_rec; r++) {
@@ -292,7 +292,10 @@ void read_prepass(
         const int64_t qpos0 = left_c ? -offs : ql - alen;
         const int64_t cons0 = left_c ? ql - offs : 2 * ql - alen;
         int64_t total = 0, idc2 = 0, ryc2 = 0;
-        double lm = 0.0;
+        // 80-bit sequential accumulation: the reference's `long double
+        // likMod += log(lik)` (nuclassembleUtil.cpp:212,279) — last-ulp
+        // distinctions decide priority-queue ties at scale
+        long double lm = 0.0L;
         int64_t ac = 0;
         int64_t t_rank = -1;
         for (int64_t i = 0; i < tl; i++) {
@@ -325,7 +328,7 @@ void read_prepass(
         cons_total_o[r] = valid ? total : 0;
         cons_valid_o[r] = valid;
         cons_left_o[r] = left_c;
-        lik_mod_o[r] = valid ? lm : 0.0;
+        lik_mod_o[r] = valid ? lm : 0.0L;
         aln_count_o[r] = valid ? ac : 0;
     }
 }
@@ -748,5 +751,23 @@ extern "C" void corr_unpack2_scatter(
         uint8_t *dst = out_flat + offsets[qg];
         for (int64_t p = 0; p < L; p++)
             dst[p] = (uint8_t)acgt[(row[p] >> shift) & 3];
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Exact sRatio from the 80-bit likelihood: the reference computes
+// `double ratioLog = 1.0/(1.0+exp(randAln-likMod))` with likMod still in
+// long double (nuclassembleUtil.cpp:340), so the exp resolves to expl.
+// lik_ld must already include the excess-penalty term.
+// ---------------------------------------------------------------------------
+extern "C" void lik_ratio_ld(const double *rand_aln, const long double *lik_ld,
+                             int64_t n, double *ratio_o)
+{
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; i++) {
+        ratio_o[i] = (double)(1.0L /
+                              (1.0L + expl((long double)rand_aln[i] - lik_ld[i])));
     }
 }

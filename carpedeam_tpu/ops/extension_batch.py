@@ -22,8 +22,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..constants import CHAR_TO_ACGT, CHAR_TO_RY
-from ..damage import seq_error_profile
-from .likelihood import likelihood_table
+from ..damage import seq_error_profile_ld
+from .likelihood import likelihood_table, logf32, ratio_ld_array
 
 def _chunk_for(max_len: int) -> int:
     """Bound the (chunk, max_len) window working set to ~2^27 elements."""
@@ -44,7 +44,8 @@ def _consensus_likelihood_host(seqdb, qid, tid, qs, qe, ts, te, alen,
     qlen = seqdb.lengths[qid]
     n = len(rows)
     out = {k: np.zeros(n, dtype=np.float64)
-           for k in ("seq_id", "ry_seq_id", "lik_mod")}
+           for k in ("seq_id", "ry_seq_id")}
+    out["lik_mod"] = np.zeros(n, dtype=np.longdouble)
     out["total"] = np.zeros(n, dtype=np.int64)
     out["aln_count"] = np.zeros(n, dtype=np.int64)
     out["valid"] = np.zeros(n, dtype=bool)
@@ -100,7 +101,8 @@ def _consensus_likelihood_host(seqdb, qid, tid, qs, qe, ts, te, alen,
         qb4 = acgt_flat[qg_idx].astype(np.int64)
         tb4 = acgt_flat[tg_idx].astype(np.int64)
         vals = logm[lay, qb4, tb4]
-        out["lik_mod"][sub] = np.where(use_l, vals, 0.0).sum(axis=1)
+        out["lik_mod"][sub] = np.where(use_l, vals, 0.0) \
+            .astype(np.longdouble).cumsum(axis=1)[:, -1]
         out["aln_count"][sub] = use_l.sum(axis=1)
     return out
 
@@ -178,9 +180,25 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
     acgt_flat = CHAR_TO_ACGT[data]
     not_n_flat = data != ord("N")
 
-    logm = likelihood_table(damage.fwd, seq_error_profile(0.001))
-    log_excess = np.log(excess_penal)
-    log_rand = np.log(rand_aln_penal)
+    # exact-semantics table (80-bit damage tensors; doNuclAssembly1 uses
+    # seq error 0.001, ancientReadsResults.cpp:172) and f32 penalty logs
+    # (libgab's `using namespace std` makes log(float) resolve to logf)
+    deam_ld = damage.fwd_ld if damage.fwd_ld is not None else damage.fwd
+    logm = likelihood_table(deam_ld, seq_error_profile_ld(0.001))
+    log_excess = logf32(excess_penal)
+    log_rand = logf32(rand_aln_penal)
+
+    def _exact_sln_ratio(lik_ld, aln_count, max_aln):
+        """sLenNorm/sRatio with the reference's exact precision chain:
+        ld likMod + f32 excess term -> double; ratio via expl."""
+        term = (max_aln - aln_count).astype(np.float32) * log_excess
+        sln_ld = np.asarray(lik_ld, dtype=np.longdouble) \
+            + term.astype(np.longdouble)
+        s_len_norm = sln_ld.astype(np.float64)
+        rand_aln = (max_aln.astype(np.float32) * log_rand) \
+            .astype(np.float64)
+        s_ratio = ratio_ld_array(rand_aln, sln_ld)
+        return s_len_norm, s_ratio
 
     def _finish(cand, seq_id, ry_seq_id, side_total, side_is_left,
                 side_valid, lik_mod, aln_count):
@@ -302,14 +320,12 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
             aln_count[cc] = np.where(valid, total, 0)
         res = _finish(cand, seq_id, ry_seq_id, side_total, side_is_left,
                       side_valid, lik_mod, aln_count)
-        # ---- f64 precision guard -------------------------------------
-        # the device likelihood sums are f32 (worst-case ~0.3 absolute
-        # error at 512-term windows); queue membership AND queue ORDER
-        # compare s_len_norm, so every potential queue entrant — any
-        # record within a safe logit margin of the sRatio threshold —
-        # is re-evaluated by the f64 host oracle.  Bit-identical
-        # decisions at ~1% of the records' cost (this is what made the
-        # 120k-read assembly differ from the host path by 3 reads).
+        # ---- exact precision guard -----------------------------------
+        # the device likelihood sums are f32; queue membership AND queue
+        # ORDER compare s_len_norm down to the last f64 ulp (the reference
+        # rounds an 80-bit accumulator to double — exact ties at scale are
+        # real, see the 5M divergence bisection), so EVERY queue entrant
+        # is re-evaluated by the exact long-double host path.
         not_inside = tlen != alen
         queue_pre = cand & ((ts == 0) | (qs == 0)) & not_inside \
             & not_identity \
@@ -318,12 +334,9 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
         is_left_like = (qs == 0) & (te == tlen - 1)
         max_aln_all = np.where(is_left_like, res["max_left"][qid],
                                res["max_right"][qid])
-        logit = max_aln_all * log_rand - res["s_len_norm"]
-        thr_logit = np.log(1.0 / likelihood_thr - 1.0) \
-            if 0.0 < likelihood_thr < 1.0 else 0.0
-        sub = np.nonzero(queue_pre & (logit < thr_logit + 1.0))[0]
+        sub = np.nonzero(queue_pre)[0]
         if len(sub):
-            # f64 recompute: native per-record pass when available (the
+            # exact recompute: native per-record pass when available (the
             # same C++ that backs the host fast path below), NumPy dense
             # windows otherwise — identical columns either way
             from .. import native
@@ -345,12 +358,9 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
                 h = _consensus_likelihood_host(seqdb, qid, tid, qs, qe,
                                                ts, te, alen, logm, sub,
                                                max_len)
-            lm = np.where(h["valid"], h["lik_mod"], 0.0)
+            lm = np.where(h["valid"], h["lik_mod"], np.longdouble(0.0))
             ac = np.where(h["valid"], h["aln_count"], 0)
-            ma = max_aln_all[sub]
-            sln = lm + (ma - ac) * log_excess
-            with np.errstate(over="ignore"):
-                sr = 1.0 / (1.0 + np.exp(ma * log_rand - sln))
+            sln, sr = _exact_sln_ratio(lm, ac, max_aln_all[sub])
             res["s_len_norm"][sub] = sln
             res["s_ratio"][sub] = sr
             res["queue_ok"][sub] = queue_pre[sub] & (sr > likelihood_thr)
@@ -383,10 +393,8 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
             & (seq_id.astype(np.float32) >= np.float32(seq_id_thr))
         is_left_like = (qs == 0) & (te == tlen - 1)
         max_aln = np.where(is_left_like, max_left[qid], max_right[qid])
-        excess = max_aln - nat["aln_count"]
-        s_len_norm = nat["lik_mod"] + excess * log_excess
-        with np.errstate(over="ignore"):
-            s_ratio = 1.0 / (1.0 + np.exp(max_aln * log_rand - s_len_norm))
+        s_len_norm, s_ratio = _exact_sln_ratio(nat["lik_mod"],
+                                               nat["aln_count"], max_aln)
         queue_ok = queue_pre & (s_ratio > likelihood_thr)
         return {"cand": cand, "seq_id": seq_id, "ry_seq_id": ry_seq_id,
                 "queue_ok": queue_ok, "s_len_norm": s_len_norm,
@@ -399,7 +407,7 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
     side_total = np.zeros(n_rec, dtype=np.int64)
     side_is_left = np.zeros(n_rec, dtype=bool)
     side_valid = np.zeros(n_rec, dtype=bool)
-    lik_mod = np.zeros(n_rec, dtype=np.float64)
+    lik_mod = np.zeros(n_rec, dtype=np.longdouble)
     aln_count = np.zeros(n_rec, dtype=np.int64)
     lik_valid = np.zeros(n_rec, dtype=bool)
 
@@ -492,10 +500,12 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
         qb4 = acgt_flat[qg_idx].astype(np.int64)
         tb4 = acgt_flat[tg_idx].astype(np.int64)
         vals = logm[lay, qb4, tb4]
-        lm = np.where(use_l, vals, 0.0).sum(axis=1)
+        # sequential 80-bit row sums (ld cumsum; zeros are exact no-ops)
+        lm = np.where(use_l, vals, 0.0).astype(np.longdouble) \
+            .cumsum(axis=1)[:, -1]
         ac = use_l.sum(axis=1)
         ok_l = valid  # same guard as _seq_id (left/right + cs_ok)
-        lik_mod[rc] = np.where(ok_l, lm, 0.0)
+        lik_mod[rc] = np.where(ok_l, lm, np.longdouble(0.0))
         aln_count[rc] = np.where(ok_l, ac, 0)
         lik_valid[rc] = True
 
@@ -517,11 +527,7 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
     # max_aln per record: left if (qstart==0 && tend==tlen-1) else right
     is_left_like = (qs == 0) & (te == tlen - 1)
     max_aln = np.where(is_left_like, max_left[qid], max_right[qid])
-    excess = max_aln - aln_count
-    s_len_norm = lik_mod + excess * log_excess
-    rand_aln = max_aln * log_rand
-    with np.errstate(over="ignore"):
-        s_ratio = 1.0 / (1.0 + np.exp(rand_aln - s_len_norm))
+    s_len_norm, s_ratio = _exact_sln_ratio(lik_mod, aln_count, max_aln)
     queue_ok = queue_pre & (s_ratio > likelihood_thr)
 
     return {"cand": cand, "seq_id": seq_id, "ry_seq_id": ry_seq_id,

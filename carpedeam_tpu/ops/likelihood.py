@@ -17,16 +17,88 @@ that pop order ties match the reference's std::priority_queue exactly.
 """
 from __future__ import annotations
 
+import ctypes
+import math
+
 import numpy as np
 
 from ..constants import CHAR_TO_ACGT, SMOOTHING_VALUE
 from ..damage import layer_index
 
+_libm = ctypes.CDLL("libm.so.6")
+_libm.logf.restype = ctypes.c_float
+_libm.logf.argtypes = (ctypes.c_float,)
 
-def likelihood_table(deam_fwd: np.ndarray, seq_err: np.ndarray) -> np.ndarray:
-    """LOGM[l, qb, tb] = log( sum_z max(deam[l,qb,z], S) * seqErr[z, tb] )."""
-    m = np.einsum("lqz,zt->lqt", np.maximum(deam_fwd, SMOOTHING_VALUE), seq_err)
-    return np.log(m)
+
+def logf32(x: float) -> np.float32:
+    """glibc logf of float(x).  The reference's penalty terms resolve to the
+    float overload of std::log (libgab.h:37 `using namespace std` + float
+    parameters randAlnPenal/excessPenal, nuclassembleUtil.cpp:330-336), so
+    `excess * log(excessPenal)` and `maxAln * log(randAlnPenal)` are f32
+    products of f32 logs."""
+    return np.float32(_libm.logf(ctypes.c_float(x)))
+
+
+def sln_ratio_exact(lik_mod_ld, aln_count: int, max_aln: int,
+                    rand_aln_penal: float, excess_penal: float):
+    """The tail of calcLikelihoodConsensus (nuclassembleUtil.cpp:328-375)
+    in the reference's exact mixed precision:
+
+      likMod (long double) += float(excess) * logf(excessPenal)    [f32]
+      randAln = double(float(maxAln) * logf(randAlnPenal))
+      sLenNorm = double(likMod)
+      sRatio   = double(1.0L / (1.0L + expl(randAln - likMod)))
+    """
+    excess = max_aln - aln_count
+    term = np.float32(excess) * logf32(excess_penal)
+    lik_ld = np.longdouble(lik_mod_ld) + np.longdouble(term)
+    sln = float(np.float64(lik_ld))
+    rand_aln = np.float64(np.float32(max_aln) * logf32(rand_aln_penal))
+    ratio = float(ratio_ld_array(np.array([rand_aln]),
+                                 np.array([lik_ld], dtype=np.longdouble))[0])
+    return sln, ratio
+
+
+def ratio_ld_array(rand_aln: np.ndarray, lik_ld: np.ndarray) -> np.ndarray:
+    """Vector sRatio with exact expl semantics via the native helper
+    (ctypes cannot pass/return long double without truncating through a
+    Python double).  Fallback: numpy's longdouble exp — may differ from
+    glibc expl in the final ulp of the ratio; only reachable when the
+    native library is unavailable, where full byte-parity is off anyway."""
+    from .. import native
+    r = native.lik_ratio_ld(rand_aln, lik_ld)
+    if r is not None:
+        return r
+    one = np.longdouble(1.0)
+    with np.errstate(over="ignore"):
+        e = np.exp(np.asarray(rand_aln, dtype=np.longdouble)
+                   - np.asarray(lik_ld, dtype=np.longdouble))
+        return (one / (one + e)).astype(np.float64)
+
+
+def likelihood_table(deam: np.ndarray, seq_err: np.ndarray) -> np.ndarray:
+    """LOGM[l, qb, tb] = log( sum_z max(deam[l,qb,z], S) * seqErr[z, tb] ).
+
+    Bit-exact to the reference's per-column computation (nuclassembleUtil.
+    cpp:148-162): match_lik = double(max(ld SMOOTHING, ld p[qb][z]));
+    lik is a DOUBLE accumulated with per-step long-double products
+    (`lik += tBaseErr * match_lik` with ld tBaseErr); the final log is
+    glibc's double log.  Pass the long-double tensors (DamageModel.fwd_ld,
+    seq_error_profile_ld); f64 inputs are widened exactly."""
+    deam = np.asarray(deam, dtype=np.longdouble)
+    seq_err = np.asarray(seq_err, dtype=np.longdouble)
+    S = np.longdouble(np.float64(SMOOTHING_VALUE))
+    match = np.maximum(deam, S).astype(np.float64)      # (L, 4q, 4z) double
+    lik = np.zeros(deam.shape[:-1] + (4,), dtype=np.float64)
+    for z in range(4):
+        prod = seq_err[z, :] * match[..., z][..., None].astype(np.longdouble)
+        lik = (lik.astype(np.longdouble) + prod).astype(np.float64)
+    out = np.empty_like(lik)
+    flat_in = lik.reshape(-1)
+    flat_out = out.reshape(-1)
+    for i in range(flat_in.size):
+        flat_out[i] = math.log(flat_in[i])
+    return out
 
 
 def calc_likelihood_consensus(logm: np.ndarray, consensus: np.ndarray,
@@ -74,14 +146,14 @@ def calc_likelihood_consensus(logm: np.ndarray, consensus: np.ndarray,
             qb = CHAR_TO_ACGT[cons_chars[use]].astype(np.int64)
             tb = CHAR_TO_ACGT[target[use]].astype(np.int64)
             ls = layers[use]
-            lik_mod = float(np.sum(logm[ls, qb, tb]))
+            # sequential 80-bit accumulation (the reference's
+            # `long double likMod += log(lik)` loop; cumsum is sequential,
+            # np.sum's pairwise grouping is not)
+            lik_mod = logm[ls, qb, tb].astype(np.longdouble).cumsum()[-1]
             aln_count = int(use.sum())
 
-    excess = max_aln - aln_count
-    lik_mod += excess * np.log(excess_penal)
-    rand_aln = max_aln * np.log(rand_aln_penal)
-    ratio = 1.0 / (1.0 + np.exp(rand_aln - lik_mod))
-    return lik_mod, ratio
+    return sln_ratio_exact(lik_mod, aln_count, max_aln,
+                           rand_aln_penal, excess_penal)
 
 
 class CppPriorityQueue:

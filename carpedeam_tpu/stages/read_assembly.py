@@ -31,10 +31,10 @@ import numpy as np
 
 from ..aligndb import AlnDB
 from ..constants import CHAR_REVCOMP, CHAR_TO_ACGT, CHAR_TO_RY
-from ..damage import DamageModel, seq_error_profile
+from ..damage import DamageModel, seq_error_profile_ld
 from ..io.seqdb import SeqDB
 from ..ops.likelihood import (CppPriorityQueue, calc_likelihood_consensus,
-                              likelihood_table)
+                              likelihood_table, logf32)
 
 
 class _Cand:
@@ -151,8 +151,8 @@ def _native_greedy_reads(seqdb, aln, pre, iter_ids, qi_arr, cand_rows,
         pre["max_left"][iter_ids].astype(np.int64),
         pre["max_right"][iter_ids].astype(np.int64),
         np.ascontiguousarray(logm_fwd, dtype=np.float64),
-        seq_id_thr, likelihood_thr, float(np.log(rand_aln_penal)),
-        float(np.log(excess_penal)), max_seq_len)
+        seq_id_thr, likelihood_thr, float(logf32(rand_aln_penal)),
+        float(logf32(excess_penal)), max_seq_len)
     if out is None:
         return None
     arena, arena_off, out_len = out
@@ -172,9 +172,11 @@ def read_assembly(seqdb: SeqDB, aln: AlnDB, damage: DamageModel,
     from .consensus import consensus_caller
 
     key2id = seqdb.key_to_id()
-    seq_err = seq_error_profile(0.001)  # doNuclAssembly1 uses 0.001 (:172)
-    logm_fwd = likelihood_table(damage.fwd, seq_err)
-    logm_rev = likelihood_table(damage.rev, seq_err)
+    seq_err = seq_error_profile_ld(0.001)  # doNuclAssembly1 uses 0.001 (:172)
+    fwd = damage.fwd_ld if damage.fwd_ld is not None else damage.fwd
+    rev = damage.rev_ld if damage.rev_ld is not None else damage.rev
+    logm_fwd = likelihood_table(fwd, seq_err)
+    logm_rev = likelihood_table(rev, seq_err)
     aln_by_key = {int(k): i for i, k in enumerate(aln.qkeys)}
     aln_len_all = aln.aln_len
 
