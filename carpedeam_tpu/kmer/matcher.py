@@ -535,9 +535,15 @@ def build_pref_db(seqdb: SeqDB, centre_id, centre_fwd, member_id,
     return _build_pref_db_python(seqdb, c, f, m, d)
 
 
-def _pref_from_scan(seqdb: SeqDB, scan: tuple) -> PrefDB:
+def _pref_from_scan(seqdb: SeqDB, scan: tuple,
+                    row_range: tuple[int, int] | None = None) -> PrefDB:
     """Finish a native scan result (rows + per-centre group info) into a
-    PrefDB, appending the missing-centre passthrough rows."""
+    PrefDB, appending the missing-centre passthrough rows.
+
+    `row_range=(qlo, qhi)` bounds the result to centres in that sequence
+    row span (the distributed range-local mode: the scan covers only the
+    span, and the missing-centre passthrough rows are added for that
+    span alone)."""
     qkey_r, tkey_r, score_r, diag_r, grs, gcentre = scan
     n_rows = len(qkey_r)
     starts_np = np.concatenate([grs, [n_rows]])
@@ -545,8 +551,9 @@ def _pref_from_scan(seqdb: SeqDB, scan: tuple) -> PrefDB:
     qext_np = np.zeros(len(gcentre), dtype=bool)
     # sequences never written as a centre: empty self-hit,
     # wasExtended passthrough (:716-729, "Louis was here")
-    missing = np.setdiff1d(np.arange(len(seqdb), dtype=np.int64),
-                           gcentre, assume_unique=False)
+    span = np.arange(*(row_range if row_range is not None
+                       else (0, len(seqdb))), dtype=np.int64)
+    missing = np.setdiff1d(span, gcentre, assume_unique=False)
     if len(missing):
         mk = seqdb.keys[missing].astype(np.uint32)
         qkey_r = np.concatenate([qkey_r, mk])

@@ -114,6 +114,10 @@ N_KRANGES = 64     # kmer-value ranges (phase A -> B routing)
 N_CBUCKETS = 128   # centre-id buckets (phase B -> C routing)
 _ENT_FIELDS = ("kmer", "id", "pos", "seq_len")
 
+# Cumulative spill traffic (bytes written + bytes read through the
+# exchange files) for the SCALING artifacts' bytes-per-iteration metric.
+SPILL_BYTES = {"write": 0, "read": 0}
+
 
 def _dump(path: str, obj) -> None:
     tmp = path + ".tmp"
@@ -125,6 +129,51 @@ def _dump(path: str, obj) -> None:
 def _load(path: str):
     with open(path, "rb") as fh:
         return pickle.load(fh)
+
+
+# ---- flat binary spill files (the reference's raw sorted spill files,
+# kmermatcher.cpp:622-706: plain struct streams, no serialisation layer).
+# One file per (rank, field) holding that rank's entries/pairs sorted by
+# partition id, plus one small .npy of partition boundaries; readers
+# np.memmap the span they own — no pickle deserialisation copies and no
+# per-(partition, rank) file explosion.
+def _spill_flat(dirpath: str, name: str, rank: int, bounds: np.ndarray,
+                **fields) -> None:
+    np.save(os.path.join(dirpath, f"{name}_{rank}_bounds.npy"),
+            np.asarray(bounds, dtype=np.int64))
+    for f, a in fields.items():
+        a = np.ascontiguousarray(a)
+        a.tofile(os.path.join(dirpath, f"{name}_{rank}_{f}.bin"))
+        SPILL_BYTES["write"] += a.nbytes
+
+
+def _spill_bounds(dirpath: str, name: str, rank: int) -> np.ndarray:
+    return np.load(os.path.join(dirpath, f"{name}_{rank}_bounds.npy"))
+
+
+def _spill_map(dirpath: str, name: str, rank: int, field: str,
+               dtype) -> np.ndarray:
+    path = os.path.join(dirpath, f"{name}_{rank}_{field}.bin")
+    if os.path.getsize(path) == 0:
+        return np.zeros(0, dtype=dtype)
+    return np.memmap(path, dtype=dtype, mode="r")
+
+
+def _gather_spans(maps: list[np.ndarray], bounds: list[np.ndarray],
+                  parts: range, out_dtype) -> np.ndarray:
+    """Concatenate spans in (partition, source-rank) interleave order —
+    the order that reproduces the single-process stream exactly (within a
+    partition, source ranks own ascending sequence ranges)."""
+    total = sum(int(b[parts.stop] - b[parts.start]) for b in bounds)
+    out = np.empty(total, dtype=out_dtype)
+    o = 0
+    for p in parts:
+        for m, b in zip(maps, bounds):
+            lo, hi = int(b[p]), int(b[p + 1])
+            out[o:o + hi - lo] = m[lo:hi]
+            SPILL_BYTES["read"] += m[lo:hi].nbytes
+            o += hi - lo
+    return out
 
 
 def _contiguous_partition(counts: np.ndarray, world: int) -> list[int]:
@@ -145,34 +194,49 @@ def _contiguous_partition(counts: np.ndarray, world: int) -> list[int]:
 
 def process_kmermatcher(seqdb: SeqDB, params_tuple, shard_dir: str,
                         process_id: int, num_processes: int,
-                        n_shards: int = 0, barrier=None):
+                        n_shards: int = 0, barrier=None,
+                        local: bool = False):
     """Fully distributed kmermatcher (no rank-0 serial phase):
 
     * phase A: each rank extracts ITS OWN sequence range (equal residue
       split) and spills the entries partitioned into N_KRANGES
       contiguous k-mer value ranges — the reference's hash-space splits
       (kmermatcher.cpp:636-664) re-cut so the pair-emission order stays
-      reproducible;
+      reproducible.  Spills are flat binary field files (the reference's
+      raw struct spill format, kmermatcher.cpp:622-706): kmer u64 +
+      id u32 + pos u32 = 16 B/entry (seq_len re-derives from the global
+      lengths array on read);
     * phase B: ranks take contiguous k-mer ranges balanced by entry
-      count, run the native group-walk pair emission over their ranges
-      (groups are k-mer-local, so every rank's pair stream is exact),
-      and spill pairs into N_CBUCKETS centre-id buckets;
+      count, memmap + gather their spans in (range, source-rank) order —
+      which reproduces the single-process entry order exactly, because
+      source ranks own ascending sequence ranges — run the native
+      group-walk pair emission, and spill pairs into N_CBUCKETS
+      contiguous centre-id buckets (pk1 u64 + pk2 u32 + fwd u8);
     * phase C: ranks take contiguous centre buckets balanced by pair
-      count, concatenate bucket files in (bucket, source-rank) order —
-      which reproduces the single-process pair stream order exactly,
-      because source ranks own ascending k-mer ranges — and run the
-      native stable pair-sort + result scan over their centre span;
-    * every rank then assembles the identical full PrefDB from the
-      partial scans (cheap concatenation; no rank-0 bottleneck).
+      count, gather spans in (bucket, source-rank) order, and run the
+      native stable pair-sort + result scan over their centre span.
 
-    Bit-identical to the single-process stage; returns the PrefDB on
-    EVERY rank.  `barrier` blocks until all ranks arrive."""
+    With `local=True` (the pipeline's mode) each rank returns ONLY its
+    own centre span as `(PrefDB, (qlo, qhi))` — the downstream rescore /
+    correction / extension stages are per-query, so they consume the
+    local slice directly and nothing else ever crosses ranks (the old
+    design spilled the full scan and had every rank assemble the full
+    PrefDB: world x the result bytes through the page cache for data
+    the other ranks never used).  With local=False every rank assembles
+    and returns the identical full PrefDB (kept for the standalone
+    stage API and tests).
+
+    Bit-identical to the single-process stage (the concatenation of the
+    local slices equals the full PrefDB up to empty-group placement,
+    and every per-query group is exact).  `barrier` blocks until all
+    ranks arrive."""
     from .. import native
     from ..kmer.matcher import _pref_from_scan, pref_from_entries
 
     k, kps, scale, ioe, hash_shift = params_tuple
     os.makedirs(shard_dir, exist_ok=True)
     world = num_processes
+    n_seq = len(seqdb)
     if native.get_lib() is None or world <= 1:
         # fallback: single-rank semantics (rank 0 computes, all return)
         if process_id == 0:
@@ -185,8 +249,8 @@ def process_kmermatcher(seqdb: SeqDB, params_tuple, shard_dir: str,
             barrier()
         if process_id != 0:
             from ..aligndb import PrefDB
-            return PrefDB.load(os.path.join(shard_dir, "pref"))
-        return pref
+            pref = PrefDB.load(os.path.join(shard_dir, "pref"))
+        return (pref, (0, n_seq)) if local else pref
 
     # ---- phase A: extract own sequence range, spill by k-mer range ----
     from ..utils import subtimer
@@ -211,16 +275,12 @@ def process_kmermatcher(seqdb: SeqDB, params_tuple, shard_dir: str,
           & np.uint64((1 << 63) - 1)) >> np.uint64(shift)
     kr = np.minimum(kr, N_KRANGES - 1)
     order = np.argsort(kr, kind="stable")
-    ent_sorted = {f: ent[f][order] for f in _ENT_FIELDS}  # one gather each
     kr_sorted = kr[order]
     bounds = np.searchsorted(kr_sorted, np.arange(N_KRANGES + 1))
-    ent_counts = np.zeros(N_KRANGES, dtype=np.int64)
-    for r in range(N_KRANGES):
-        b0, b1 = int(bounds[r]), int(bounds[r + 1])
-        ent_counts[r] = b1 - b0
-        _dump(os.path.join(shard_dir, f"entA_{r}_{process_id}.pkl"),
-              {f: ent_sorted[f][b0:b1] for f in _ENT_FIELDS})
-    _dump(os.path.join(shard_dir, f"entcnt_{process_id}.pkl"), ent_counts)
+    _spill_flat(shard_dir, "entA", process_id, bounds,
+                kmer=ent["kmer"][order],
+                id=ent["id"][order].astype(np.uint32),
+                pos=ent["pos"][order].astype(np.uint32))
     del ent, kr, order, kr_sorted
     _stA.__exit__()
     with subtimer("km.barrierA"):
@@ -228,42 +288,34 @@ def process_kmermatcher(seqdb: SeqDB, params_tuple, shard_dir: str,
     _stB = subtimer("km.phaseB"); _stB.__enter__()
 
     # ---- phase B: pair emission over contiguous k-mer ranges ----------
-    totals = np.zeros(N_KRANGES, dtype=np.int64)
-    for src in range(world):
-        totals += _load(os.path.join(shard_dir, f"entcnt_{src}.pkl"))
+    a_bounds = [_spill_bounds(shard_dir, "entA", src)
+                for src in range(world)]
+    totals = np.sum([np.diff(b) for b in a_bounds], axis=0)
     kbounds = _contiguous_partition(totals, world)
     my_ranges = range(kbounds[process_id], kbounds[process_id + 1])
-    parts = []
-    for r in my_ranges:
-        for src in range(world):
-            parts.append(_load(os.path.join(shard_dir,
-                                            f"entA_{r}_{src}.pkl")))
-    if parts:
-        ent_b = {f: np.concatenate([p[f] for p in parts])
-                 for f in _ENT_FIELDS}
-    else:
-        ent_b = {f: np.zeros(0, dtype=np.uint64 if f == "kmer" else
-                             np.int64 if f == "id" else np.int32)
-                 for f in _ENT_FIELDS}
-    del parts
+    ids64 = _gather_spans(
+        [_spill_map(shard_dir, "entA", src, "id", np.uint32)
+         for src in range(world)], a_bounds, my_ranges, np.int64)
+    ent_b = {
+        "kmer": _gather_spans(
+            [_spill_map(shard_dir, "entA", src, "kmer", np.uint64)
+             for src in range(world)], a_bounds, my_ranges, np.uint64),
+        "id": ids64,
+        "pos": _gather_spans(
+            [_spill_map(shard_dir, "entA", src, "pos", np.uint32)
+             for src in range(world)], a_bounds, my_ranges, np.int32),
+        "seq_len": seqdb.lengths[ids64].astype(np.int32),
+    }
     pk1, pk2, fwd = native.kmer_emit_pairs(ent_b, ioe)
-    del ent_b
+    del ent_b, ids64
     # centre buckets (contiguous id ranges)
-    n_seq = len(seqdb)
     per = max(1, -(-n_seq // N_CBUCKETS))
     cb = (pk1 >> np.uint64(32)).astype(np.int64) // per
     orderp = np.argsort(cb, kind="stable")
-    pk1s, pk2s, fwds = pk1[orderp], pk2[orderp], fwd[orderp]
     cb_sorted = cb[orderp]
     pb = np.searchsorted(cb_sorted, np.arange(N_CBUCKETS + 1))
-    pair_counts = np.zeros(N_CBUCKETS, dtype=np.int64)
-    for b in range(N_CBUCKETS):
-        b0, b1 = int(pb[b]), int(pb[b + 1])
-        pair_counts[b] = b1 - b0
-        _dump(os.path.join(shard_dir, f"pairB_{b}_{process_id}.pkl"),
-              (pk1s[b0:b1], pk2s[b0:b1], fwds[b0:b1]))
-    _dump(os.path.join(shard_dir, f"paircnt_{process_id}.pkl"),
-          pair_counts)
+    _spill_flat(shard_dir, "pairB", process_id, pb,
+                pk1=pk1[orderp], pk2=pk2[orderp], fwd=fwd[orderp])
     del pk1, pk2, fwd, cb, orderp, cb_sorted
     _stB.__exit__()
     with subtimer("km.barrierB"):
@@ -271,28 +323,36 @@ def process_kmermatcher(seqdb: SeqDB, params_tuple, shard_dir: str,
     _stC = subtimer("km.phaseC"); _stC.__enter__()
 
     # ---- phase C: stable pair sort + result scan per centre span ------
-    ptotals = np.zeros(N_CBUCKETS, dtype=np.int64)
-    for src in range(world):
-        ptotals += _load(os.path.join(shard_dir, f"paircnt_{src}.pkl"))
+    b_bounds = [_spill_bounds(shard_dir, "pairB", src)
+                for src in range(world)]
+    ptotals = np.sum([np.diff(b) for b in b_bounds], axis=0)
     cbounds = _contiguous_partition(ptotals, world)
-    p1s, p2s, fws = [], [], []
-    for b in range(cbounds[process_id], cbounds[process_id + 1]):
-        for src in range(world):
-            a, c, f = _load(os.path.join(shard_dir,
-                                         f"pairB_{b}_{src}.pkl"))
-            p1s.append(a)
-            p2s.append(c)
-            fws.append(f)
-    if p1s:
-        scan = native.kmer_pairs_to_pref(np.concatenate(p1s),
-                                         np.concatenate(p2s),
-                                         np.concatenate(fws), seqdb.keys)
+    my_buckets = range(cbounds[process_id], cbounds[process_id + 1])
+    p1 = _gather_spans([_spill_map(shard_dir, "pairB", src, "pk1",
+                                   np.uint64) for src in range(world)],
+                       b_bounds, my_buckets, np.uint64)
+    p2 = _gather_spans([_spill_map(shard_dir, "pairB", src, "pk2",
+                                   np.uint32) for src in range(world)],
+                       b_bounds, my_buckets, np.uint32)
+    fw = _gather_spans([_spill_map(shard_dir, "pairB", src, "fwd",
+                                   np.uint8) for src in range(world)],
+                       b_bounds, my_buckets, np.uint8)
+    if len(p1):
+        scan = native.kmer_pairs_to_pref(p1, p2, fw, seqdb.keys)
     else:
         scan = (np.zeros(0, np.uint32), np.zeros(0, np.uint32),
                 np.zeros(0, np.int32), np.zeros(0, np.int32),
                 np.zeros(0, np.int64), np.zeros(0, np.int64))
+    del p1, p2, fw
+    qlo = min(n_seq, cbounds[process_id] * per)
+    qhi = min(n_seq, cbounds[process_id + 1] * per)
+    if local:
+        # each rank keeps only its centre span; downstream stages are
+        # per-query, so nothing more ever crosses ranks
+        out = _pref_from_scan(seqdb, scan, row_range=(qlo, qhi))
+        _stC.__exit__()
+        return out, (qlo, qhi)
     _dump(os.path.join(shard_dir, f"scanC_{process_id}.pkl"), scan)
-    del p1s, p2s, fws
     _stC.__exit__()
     with subtimer("km.barrierC"):
         barrier()

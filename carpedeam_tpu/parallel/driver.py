@@ -82,76 +82,43 @@ class DistContext:
 def dist_kmermatcher(dist: DistContext, seqdb, k: int, kps: int,
                      scale: float, only_ext: bool, hash_shift: int,
                      step: int, n_shards: int | None = None):
-    """Distributed kmermatcher: hash-range shards round-robin over
-    ranks, spill to the shared dir, rank 0 merges + groups/scans, every
-    rank loads the resulting PrefDB (all ranks need it for the rescore
-    range split)."""
-    from ..aligndb import PrefDB
-
+    """Distributed kmermatcher, range-local: each rank computes and
+    KEEPS only its own centre span of the prefilter result (the
+    downstream per-query stages consume exactly that span, so no rank
+    ever materialises the full PrefDB).  Returns (pref_local,
+    (qlo, qhi))."""
     from ..utils import subtimer
     sub = os.path.join(dist.shard_dir, f"km_{step}")
     with subtimer("dist.km_process"):
-        # fully distributed three-phase kmermatcher; every rank returns
-        # the identical full PrefDB (no rank-0 merge bottleneck)
-        pref = D.process_kmermatcher(seqdb, (k, kps, scale, only_ext,
-                                             hash_shift), sub,
-                                     dist.rank, dist.world,
-                                     barrier=dist.barrier)
-    return pref
+        pref, qrange = D.process_kmermatcher(
+            seqdb, (k, kps, scale, only_ext, hash_shift), sub,
+            dist.rank, dist.world, barrier=dist.barrier, local=True)
+    return pref, qrange
 
 
-def dist_rescorediagonal(dist: DistContext, seqdb, pref, seq_id_thr,
+def dist_rescorediagonal(dist: DistContext, seqdb, pref_local, seq_id_thr,
                          eval_thr, aln_len_thr, step: int):
-    """Distributed rescorediagonal: query ranges of ~equal residue
-    count per rank (Util::decomposeDomainByAminoAcid), spill, rank-0
-    merge in range order — bit-identical to the full run.  Returns the
-    merged AlnDB on rank 0, None elsewhere."""
-    # balance by candidate-pair count per query (the stage cost), not
-    # query residues — prefilter hits are far from uniform per query
-    counts = (pref.starts[1:] - pref.starts[:-1]).astype(np.int64)
-    ranges = D.decompose_by_residue_count(counts, dist.world)
-    sub = os.path.join(dist.shard_dir, f"aln_{step}")
-    os.makedirs(sub, exist_ok=True)
-    lo, hi = ranges[dist.rank]
+    """Range-local rescorediagonal: the rank's prefilter slice rescored
+    in memory — per-query work is independent, so no exchange, no spill,
+    no merge (the old design pickled full AlnDBs through the shared
+    filesystem on every rank).  Returns the LOCAL AlnDB slice."""
+    from ..stages.rescorediagonal import rescorediagonal
     from ..utils import subtimer
     with subtimer("dist.rescore_range"):
-        if lo < hi:
-            part = D.rescorediagonal_range(seqdb, pref, seq_id_thr,
-                                           (lo, hi), eval_thr, aln_len_thr)
-            tmp = os.path.join(sub, f"part_{dist.rank}.pkl.tmp")
-            with open(tmp, "wb") as fh:
-                pickle.dump(part, fh)
-            os.replace(tmp, os.path.join(sub, f"part_{dist.rank}.pkl"))
-    with subtimer("dist.rescore_barrier"):
-        dist.barrier()
-    with subtimer("dist.rescore_merge"):
-        # EVERY rank merges the spilled parts itself (the merge is a
-        # cheap deterministic concat; duplicating it in parallel beats
-        # the old rank-0-merge + full-AlnDB save/reload round trip)
-        parts = []
-        for r in range(dist.world):
-            p = os.path.join(sub, f"part_{r}.pkl")
-            if os.path.exists(p):
-                with open(p, "rb") as fh:
-                    parts.append(pickle.load(fh))
-        return D.merge_aln_ranges(parts)
-
-
-def dist_broadcast_aln(dist: DistContext, aln, step: int):
-    """Every rank already holds the merged AlnDB (dist_rescorediagonal
-    merges the spilled parts on all ranks); kept for the pipeline's
-    call shape."""
-    return aln
+        return rescorediagonal(seqdb, pref_local, seq_id_thr, eval_thr,
+                               aln_len_thr)
 
 
 def dist_apply_by_query_range(dist: DistContext, step: int, tag: str,
-                              seqdb, aln, apply_fn):
+                              seqdb, aln, apply_fn, local: bool = False):
     """Distribute a per-query SeqDB -> SeqDB stage (correction,
     read_assembly, contig_merge: each query's output depends only on its
     own alignment group + the FULL input DB) across ranks:
 
       * query groups split into ~equal-residue ranges
-        (Util::decomposeDomainByAminoAcid, the reference's MPI split);
+        (Util::decomposeDomainByAminoAcid, the reference's MPI split) —
+        or, with `local=True`, `aln` is already this rank's own slice
+        (the range-local pipeline) and is consumed whole;
       * each rank runs the stage on its group slice (queries outside the
         slice pass through untouched) and spills only the rows whose
         bytes/ext actually changed;
@@ -160,19 +127,23 @@ def dist_apply_by_query_range(dist: DistContext, step: int, tag: str,
     """
     key2id = seqdb.key_to_id()
     qrows = np.array([key2id[int(kk)] for kk in aln.qkeys], dtype=np.int64)
-    # balance by alignment-record count per query group (the dominant
-    # per-query cost in correction/extension/merging), not residues
-    counts = (aln.starts[1:] - aln.starts[:-1]).astype(np.int64) + 1
-    ranges = D.decompose_by_residue_count(counts, dist.world)
+    if local:
+        lo, hi = 0, len(aln.qkeys)
+    else:
+        # balance by alignment-record count per query group (the dominant
+        # per-query cost in correction/extension/merging), not residues
+        counts = (aln.starts[1:] - aln.starts[:-1]).astype(np.int64) + 1
+        ranges = D.decompose_by_residue_count(counts, dist.world)
+        lo, hi = ranges[dist.rank]
     sub = os.path.join(dist.shard_dir, f"{tag}_{step}")
     os.makedirs(sub, exist_ok=True)
-    lo, hi = ranges[dist.rank]
     changed: dict[int, tuple[bytes, bool]] = {}
     from ..utils import subtimer
     _st = subtimer(f"dist.apply_{tag}")
     _st.__enter__()
     if lo < hi:
-        out = apply_fn(seqdb, aln.slice_queries(lo, hi))
+        out = apply_fn(seqdb, aln if local
+                       else aln.slice_queries(lo, hi))
         for r in qrows[lo:hi]:
             r = int(r)
             nb = bytes(out.seq_bytes(r))

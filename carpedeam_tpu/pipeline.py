@@ -229,11 +229,13 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
             # results, so no rank idles through the per-query stages
             # (the round-2 design ran them on rank 0 alone, which made
             # two ranks SLOWER than one).
-            from .parallel.driver import (dist_broadcast_aln,
-                                          dist_kmermatcher,
+            from .parallel.driver import (dist_kmermatcher,
                                           dist_rescorediagonal)
             with timer.time(f"kmermatcher_{step}"):
-                pref = dist_kmermatcher(
+                # range-local: this rank's centre span only; rescore /
+                # correction / extension consume the same local slice —
+                # only changed sequence rows ever cross ranks
+                pref, _qrange = dist_kmermatcher(
                     dist, cur,
                     params.kmer_size_reads if read_phase
                     else params.kmer_size_contigs,
@@ -248,7 +250,6 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                     params.seq_id_thr if read_phase
                     else params.corr_contig_seq_id,
                     params.eval_thr, params.aln_len_thr, step)
-                aln = dist_broadcast_aln(dist, aln, step)
 
         if read_phase:
             if pref is None:
@@ -273,7 +274,8 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                         dist, step, "corr", cur, aln,
                         lambda db, a: correction_fn(
                             db, a, damage, params.corr_reads_ry_seq_id,
-                            params.seq_id_thr))
+                            params.seq_id_thr),
+                        local=True)
                 elif shared and getattr(correction_fn,
                                         "supports_planes_out", False):
                     # corrected planes derive on device from the
@@ -310,7 +312,8 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                             params.likelihood_threshold,
                             params.random_align_penal,
                             params.excess_penal, params.max_seq_len,
-                            params.ancient_unsafe, params.min_cov_safe))
+                            params.ancient_unsafe, params.min_cov_safe),
+                        local=True)
                 else:
                     nxt = read_assembly(corr, aln, damage,
                                         params.seq_id_thr,
@@ -346,7 +349,8 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                         dist, step, "corr", cur, aln,
                         lambda db, a: correction_fn(
                             db, a, damage, params.corr_reads_ry_seq_id,
-                            params.corr_contig_seq_id))
+                            params.corr_contig_seq_id),
+                        local=True)
                 else:
                     corr = correction_fn(cur, aln, damage,
                                          params.corr_reads_ry_seq_id,
@@ -359,7 +363,8 @@ def nuclassemble(reads: SeqDB, params: Params, damage: DamageModel,
                         lambda db, a: contig_merge(
                             db, a, damage, params.merge_seq_id_thr,
                             params.ry_seq_id_thr, params.max_seq_len,
-                            params.ancient_unsafe, params.min_cov_safe))
+                            params.ancient_unsafe, params.min_cov_safe),
+                        local=True)
                 else:
                     nxt = contig_merge(corr, aln, damage,
                                        params.merge_seq_id_thr,
