@@ -155,6 +155,10 @@ def main():
     best = min(reps, key=lambda r: r["total"])
     for k, v in best.items():
         print(f"# {k}: {v:.3f}s", file=sys.stderr)
+    from carpedeam_tpu.utils import coverage_summary
+    for stage, d in coverage_summary().items():
+        print(f"# device-coverage {stage}: {d['device_pct']}% "
+              f"({d['device']}/{d['total']} records)", file=sys.stderr)
     value = total_len / best["total"]
     out = {
         "metric": "hot_path_4stage_residues_per_s",

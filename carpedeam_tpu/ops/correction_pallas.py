@@ -621,6 +621,8 @@ def correction_pallas(seqdb: SeqDB, aln, damage: DamageModel,
     # (rare: very long contigs / deep-coverage stacks; exact)
     heavy = np.unique(np.concatenate(heavy_all)) if heavy_all \
         else np.zeros(0, np.int64)
+    from ..utils import coverage_add
+    coverage_add("correction", n - len(heavy), len(heavy))
     if len(heavy):
         # make silent host fallback visible (device-coverage telemetry)
         from ..utils import log_info

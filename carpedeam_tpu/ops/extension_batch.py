@@ -254,6 +254,8 @@ def batch_initial_scoring(seqdb, aln, damage, seq_id_thr: float,
                         planes, n_seq, qid[rt], tid[rt],
                         np.zeros(len(rt), bool), qs[rt], ts[rt], win)
             fx = np.nonzero(flags[qid[rt]] | flags[tid[rt]])[0]
+            from ..utils import coverage_add
+            coverage_add("extension_scoring", len(rt) - len(fx), len(fx))
             if len(fx):
                 idc[fx], ryc[fx] = _pass_b_identity_host(
                     seqdb, qid[rt[fx]], tid[rt[fx]],

@@ -334,6 +334,8 @@ def rescorediagonal_pallas(seqdb, pref, seq_id_thr, eval_thr=0.001,
                     raw[f][rows] = sraw[f]
 
     rest = np.nonzero(~done)[0]
+    from ..utils import coverage_add
+    coverage_add("rescorediagonal", n - len(rest), len(rest))
     if len(rest):
         # beyond the device levels: native host scorer on those rows only
         sub_pref = type(pref)(qkey=pref.qkey[rest], tkey=pref.tkey[rest],

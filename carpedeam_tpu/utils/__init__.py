@@ -139,6 +139,32 @@ def subtimer(name: str):
 
 
 # --------------------------------------------------------------------------
+# Device-coverage accounting: per stage, how many records ran on the
+# device kernels vs through the exact host oracles (length-ladder
+# overflows, non-ACGT chars, deep stacks).  Aggregated per run so the
+# SCALE/PERF artifacts can report "N% of records on device" as a
+# measured number per stage rather than a log line.
+# --------------------------------------------------------------------------
+DEVICE_COVERAGE: dict[str, dict[str, int]] = {}
+
+
+def coverage_add(stage: str, device_n: int, host_n: int) -> None:
+    d = DEVICE_COVERAGE.setdefault(stage, {"device": 0, "host": 0})
+    d["device"] += int(device_n)
+    d["host"] += int(host_n)
+
+
+def coverage_summary() -> dict[str, dict]:
+    out = {}
+    for stage, d in DEVICE_COVERAGE.items():
+        total = d["device"] + d["host"]
+        out[stage] = {**d, "total": total,
+                      "device_pct": round(100.0 * d["device"] / total, 2)
+                      if total else None}
+    return out
+
+
+# --------------------------------------------------------------------------
 # Verbosity-levelled logging + progress/ETA (the reference's Debug class
 # and Debug::Progress bar, lib/mmseqs/src/commons/Debug.h:20-160).
 # Levels: 0 NOTHING, 1 ERROR, 2 WARNING, 3 INFO (reference default).

