@@ -29,8 +29,9 @@ Timing notes:
     at production scale).  First call pays all compiles (~8 min through
     the tunnelled dev TPU; cached per process).
   * CARPEDEAM_BENCH_READS overrides the workload size (e.g. 1000000);
-    vs_baseline is only reported for the 120k default whose reference
-    chain was measured on this machine.
+    vs_baseline is reported whenever a measured reference chain for
+    that size is checked in (120k: BASELINE_CPU.json; 1M:
+    BASELINE_CPU_1M.json).
 """
 import json
 import os
@@ -41,14 +42,21 @@ import time
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _HERE)
 
-def _load_cpu_baseline():
-    """The reference binary's measured 4-stage numbers, produced by
-    tools/measure_baseline.py --json-out BASELINE_CPU.json (checked in
-    with timestamp + machine fingerprint; regenerate after any
-    environment change instead of editing constants)."""
-    path = os.path.join(_HERE, "BASELINE_CPU.json")
-    with open(path) as fh:
-        return json.load(fh)
+def _load_cpu_baseline(n_reads: int):
+    """The reference binary's measured 4-stage numbers for the matching
+    workload size, produced by tools/measure_baseline.py --json-out
+    (checked in with timestamp + machine fingerprint; regenerate after
+    any environment change instead of editing constants).  120k lives in
+    BASELINE_CPU.json, 1M in BASELINE_CPU_1M.json."""
+    for name in ("BASELINE_CPU.json", "BASELINE_CPU_1M.json"):
+        path = os.path.join(_HERE, name)
+        if not os.path.exists(path):
+            continue
+        with open(path) as fh:
+            d = json.load(fh)
+        if d.get("reads") == n_reads:
+            return d
+    return None
 
 
 def _workload(n_reads: int) -> str:
@@ -165,8 +173,8 @@ def main():
         "value": round(value),
         "unit": "residues/s",
     }
-    baseline = _load_cpu_baseline()
-    if n_reads == baseline["reads"]:
+    baseline = _load_cpu_baseline(n_reads)
+    if baseline is not None:
         out["vs_baseline"] = round(value / baseline["residues_per_s"],
                                    3)
     print(json.dumps(out))
