@@ -113,26 +113,32 @@ struct ReadsLess {  // queue ordered by sLenNorm
 
 // CompareNuclResultByScoreContigs (ancientContigsResults.cpp:25-70), f32
 // steps as in stages/contig_merge.py::_beta_less
+// CompareNuclResultByScoreContigs (ancientContigsResults.cpp:25-70),
+// transcribed with the reference's EXACT overload resolution: libgab.h's
+// `using namespace std` makes lgamma/log of the FLOAT alpha/beta sums
+// resolve to lgammaf/logf (only log(idx+1), an integral argument, stays
+// double).  The f32-precision lgamma moves p by ~1e-5, which decides
+// gray-zone [0.45, 0.55] outcomes — one such pair flipped a 5M-scale
+// merge pick before this transcription.
 struct BetaLess {
     bool operator()(const Cand *r1, const Cand *r2) const {
         const float mm1 = (float)r1->aln_len_cons - (float)r1->s1;
         const float mm2 = (float)r2->aln_len_cons - (float)r2->s1;
-        const double alpha1 = (double)(mm1 + 1.0f);
-        const double alpha2 = (double)(mm2 + 1.0f);
-        const double beta1 = (double)((float)r1->s1 + 1.0f);
-        const double beta2 = (double)((float)r2->s1 + 1.0f);
+        const float alpha1 = mm1 + 1.0f;
+        const float alpha2 = mm2 + 1.0f;
+        const float beta1 = (float)r1->s1 + 1.0f;
+        const float beta2 = (float)r2->s1 + 1.0f;
         const double log_c =
-            (lgamma(beta1 + beta2) + lgamma(alpha1 + beta1)) -
-            (lgamma(alpha1 + beta1 + beta2) + lgamma(beta1));
+            (double)((lgammaf(beta1 + beta2) + lgammaf(alpha1 + beta1)) -
+                     (lgammaf(alpha1 + beta1 + beta2) + lgammaf(beta1)));
         double log_r = 0.0, p = 0.0;
-        int64_t idx = 0;
-        while ((double)idx < alpha2) {
+        for (size_t idx = 0; (float)idx < alpha2; idx++) {
             p += exp(log_r + log_c);
-            log_r = (log((double)(alpha1 + idx)) + log((double)(beta2 + idx)) -
-                     (log((double)(idx + 1)) +
-                      log((double)idx + alpha1 + beta1 + beta2))) +
+            log_r = (double)(logf(alpha1 + (float)idx) +
+                             logf(beta2 + (float)idx)) -
+                    (log((double)(idx + 1)) +
+                     (double)logf((float)idx + alpha1 + beta1 + beta2)) +
                     log_r;
-            idx++;
         }
         if (p < 0.45) return true;
         if (p > 0.55) return false;

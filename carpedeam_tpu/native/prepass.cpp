@@ -60,10 +60,12 @@ inline int64_t clamp_idx(int64_t i, int64_t n) {
     return i < 0 ? 0 : (i >= n ? n - 1 : i);
 }
 
-// deamMatches posterior for one column (nuclassembleUtil.cpp:1011-1047),
-// in the f32 step semantics of ops/extension_batch.py::batch_contig_scoring.
-inline float deam_matches_f32(int64_t aln_len, int64_t score_aln,
-                              double lik) {
+// deamMatches posterior for one column, bit-exact to the reference
+// (nuclassembleUtil.cpp:1011-1047): DOUBLE arithmetic throughout, with
+// the reference's f32 sub-expressions (3.0f*alnLength is a float
+// product; 0.9f widens to double(0.9f)); scoreAln is unsigned int.
+inline double deam_matches_ref(int64_t aln_len, int64_t score_aln,
+                               double match_lik) {
     const double log_adj = std::log(1.4e-9);
     const double log_min = log_adj - 3.0 * std::log(10.0);
     const double log_max = log_adj - 3.0 * std::log(100000.0);
@@ -72,13 +74,15 @@ inline float deam_matches_f32(int64_t aln_len, int64_t score_aln,
     const double frac = (std::fabs(log_len) - std::fabs(log_max)) /
                         (std::fabs(log_min) - std::fabs(log_max));
     const double prior_aln = 1.0 - frac;
-    float term = (float)score_aln + 3.0f * (float)aln_len;
-    term = term / 5.0f + 0.9f;
-    term = term / (float)(aln_len + 1);
-    const float p_match = 0.5f * term + (float)(0.5 * prior_aln);
-    const float lik_no = 1.0f - p_match;
-    const float odds = (1.0f - p_match) / p_match;
-    return 1.0f / (1.0f + (lik_no / (float)lik) * odds);
+    const double a = (double)(uint32_t)score_aln +
+                     (double)(3.0f * (float)aln_len);
+    const double p_match =
+        0.5 * ((a / 5.0 + (double)0.9f) / (double)(aln_len + 1)) +
+        0.5 * prior_aln;
+    const double lik_no = 1.0 - p_match;
+    const double odds_ratio = lik_no / match_lik;
+    const double odds = (1.0 - p_match) / p_match;
+    return 1.0 / (1.0 + odds_ratio * odds);
 }
 
 }  // namespace
@@ -208,10 +212,12 @@ void contig_prepass(
                 const int64_t qb4 = T.acgt[qb], tb4 = T.acgt[tb];
                 const double lik = lik5[qb4 * 4 + tb4];
                 if (lik <= 0) continue;
+                // float += double: computed in double, rounded to f32
+                // per step (the reference's `float mCT += posterior`)
                 if (qb4 == 1 && tb4 == 3)
-                    m_ct += deam_matches_f32(alen, score_aln, lik);
+                    m_ct += deam_matches_ref(alen, score_aln, lik);
                 else if (qb4 == 2 && tb4 == 0)
-                    m_ga += deam_matches_f32(alen, score_aln, lik);
+                    m_ga += deam_matches_ref(alen, score_aln, lik);
             }
         }
         const float base =

@@ -761,35 +761,33 @@ def batch_contig_scoring(seqdb, aln, damage, merge_seq_id_thr: float,
         log_len = log_power(np.minimum(alr, 100000).astype(np.float64))
         frac = (np.abs(log_len) - abs(log_max)) / (abs(log_min) - abs(log_max))
         prior_aln = 1.0 - frac
-        # oracle scalar-promotion semantics (NEP50): the whole first term
-        # collapses to f32 (python-float weak scalars adopt the f32 dtype),
-        # and only the + 0.5*prior_aln promotes to f64
-        # NEP50 weak-scalar semantics make the entire _deam_matches chain
-        # float32 (python floats adopt f32 at each op); only the final
-        # m_ct/m_ga accumulation happens in the caller's f64
-        term = (score_aln.astype(np.float32)
-                + np.float32(3.0) * alr.astype(np.float32))
-        term = term / np.float32(5.0) + np.float32(0.9)
-        term = term / (alr + 1).astype(np.float32)
-        p_match = np.float32(0.5) * term \
-            + (0.5 * prior_aln).astype(np.float32)
-        lik_no = np.float32(1.0) - p_match
-        odds = (np.float32(1.0) - p_match) / p_match
+        # reference-exact deamMatches: DOUBLE chain with the reference's
+        # f32 sub-expressions (3.0f*alnLength float product, +0.9f), then
+        # a FLOAT accumulator fed double posteriors (each add computed in
+        # double, rounded to f32 — replicated by a column-wise loop; the
+        # masked zero adds are exact no-ops)
+        a = ((score_aln & 0xFFFFFFFF).astype(np.float64)
+             + (np.float32(3.0) * alr.astype(np.float32)).astype(np.float64))
+        p_match = 0.5 * ((a / 5.0 + np.float64(np.float32(0.9)))
+                         / (alr + 1).astype(np.float64)) \
+            + 0.5 * prior_aln
+        lik_no = 1.0 - p_match
+        odds = (1.0 - p_match) / p_match
         with np.errstate(divide="ignore", invalid="ignore"):
-            dm_cols = np.float32(1.0) / (
-                np.float32(1.0) + (lik_no[:, None]
-                                   / lik.astype(np.float32))
-                * odds[:, None])
-        # the oracle accumulates m_ct/m_ga and the final sum in f32
-        # (python-float + np.float32 adopts f32), so stay in f32 throughout
-        m_ct = np.where(ct, dm_cols, np.float32(0.0)).sum(axis=1,
-                                                          dtype=np.float32)
-        m_ga = np.where(ga, dm_cols, np.float32(0.0)).sum(axis=1,
-                                                          dtype=np.float32)
+            dm_cols = 1.0 / (1.0 + (lik_no[:, None] / lik) * odds[:, None])
+        m_ct = np.zeros(len(rr), dtype=np.float32)
+        m_ga = np.zeros(len(rr), dtype=np.float32)
+        ct_terms = np.where(ct, dm_cols, 0.0)
+        ga_terms = np.where(ga, dm_cols, 0.0)
+        for j in range(ct_terms.shape[1]):
+            m_ct = (m_ct.astype(np.float64) + ct_terms[:, j]) \
+                .astype(np.float32)
+            m_ga = (m_ga.astype(np.float64) + ga_terms[:, j]) \
+                .astype(np.float32)
         base = (score_aln.astype(np.float32)
                 + np.float32(3.0) * aln_len_cons[rr].astype(np.float32)) \
             / np.float32(5.0)
-        deam_match[rr] = (base + m_ct + m_ga).astype(np.float64)
+        deam_match[rr] = ((base + m_ct) + m_ga).astype(np.float64)
 
     # queue fill thresholds
     min_aln_len = np.where(alen < 500,

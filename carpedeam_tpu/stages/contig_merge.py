@@ -16,6 +16,7 @@ lgamma series (ancientContigsResults.cpp:25-70).
 """
 from __future__ import annotations
 
+import ctypes
 import math
 
 import numpy as np
@@ -46,24 +47,46 @@ class _Cand:
         self.aln_len_cons = 0
 
 
+_libm_f = ctypes.CDLL("libm.so.6")
+_libm_f.lgammaf.restype = ctypes.c_float
+_libm_f.lgammaf.argtypes = (ctypes.c_float,)
+_libm_f.logf.restype = ctypes.c_float
+_libm_f.logf.argtypes = (ctypes.c_float,)
+
+
+def _lgammaf(x) -> np.float32:
+    return np.float32(_libm_f.lgammaf(ctypes.c_float(float(x))))
+
+
+def _logf(x) -> np.float32:
+    return np.float32(_libm_f.logf(ctypes.c_float(float(x))))
+
+
 def _beta_less(r1: _Cand, r2: _Cand) -> bool:
-    """CompareNuclResultByScoreContigs (ancientContigsResults.cpp:25-70)."""
+    """CompareNuclResultByScoreContigs (ancientContigsResults.cpp:25-70)
+    with the reference's EXACT overload resolution: under libgab.h's
+    `using namespace std`, lgamma/log of the FLOAT alpha/beta sums are
+    lgammaf/logf (only log(idx+1), integral, is double).  The f32 lgamma
+    moves p by ~1e-5 — enough to decide gray-zone [0.45, 0.55] pairs."""
     mm1 = np.float32(r1.aln_len_cons) - np.float32(r1.deam_match)
     mm2 = np.float32(r2.aln_len_cons) - np.float32(r2.deam_match)
-    alpha1 = float(mm1 + 1)
-    alpha2 = float(mm2 + 1)
-    beta1 = float(np.float32(r1.deam_match) + 1)
-    beta2 = float(np.float32(r2.deam_match) + 1)
-    log_c = (math.lgamma(beta1 + beta2) + math.lgamma(alpha1 + beta1)) - \
-            (math.lgamma(alpha1 + beta1 + beta2) + math.lgamma(beta1))
+    alpha1 = np.float32(mm1 + np.float32(1))
+    alpha2 = np.float32(mm2 + np.float32(1))
+    beta1 = np.float32(np.float32(r1.deam_match) + np.float32(1))
+    beta2 = np.float32(np.float32(r2.deam_match) + np.float32(1))
+    log_c = float(np.float32(
+        np.float32(_lgammaf(beta1 + beta2) + _lgammaf(alpha1 + beta1))
+        - np.float32(_lgammaf(alpha1 + beta1 + beta2) + _lgammaf(beta1))))
     log_r = 0.0
     p = 0.0
     idx = 0
-    while idx < alpha2:  # size_t idx vs float alpha2: ceil(alpha2) iterations
+    while np.float32(idx) < alpha2:
         p += math.exp(log_r + log_c)
-        log_r = (math.log(alpha1 + idx) + math.log(beta2 + idx)
-                 - (math.log(idx + 1) + math.log(idx + alpha1 + beta1 + beta2))
-                 + log_r)
+        ab = np.float32(_logf(alpha1 + np.float32(idx))
+                        + _logf(beta2 + np.float32(idx)))
+        cd = math.log(idx + 1) + float(_logf(
+            np.float32(idx) + alpha1 + beta1 + beta2))
+        log_r = (float(ab) - cd) + log_r
         idx += 1
     if p < 0.45:
         return True
@@ -108,7 +131,13 @@ def _update_vs_consensus(c: _Cand, consensus: np.ndarray, query_len: int,
 
 
 def _deam_matches(aln_len: int, score_aln: float, match_lik: float) -> float:
-    """deamMatches posterior (nuclassembleUtil.cpp:1011-1047)."""
+    """deamMatches posterior, bit-exact to the reference
+    (nuclassembleUtil.cpp:1011-1047): DOUBLE arithmetic throughout with
+    the reference's f32 sub-expressions — `3.0f * res.alnLength` is a
+    float product and `+ 0.9f` adds double(0.9f); everything else is f64.
+    (The previous version collapsed the whole chain to f32 under NEP50
+    weak-scalar promotion, which flipped one Beta-queue pick in 5M reads.)
+    """
     log_adj = math.log(1.4e-9)
     max_length = 100000
 
@@ -120,9 +149,9 @@ def _deam_matches(aln_len: int, score_aln: float, match_lik: float) -> float:
     log_length = log_power(min(aln_len, max_length))
     fraction = (abs(log_length) - abs(log_max)) / (abs(log_min) - abs(log_max))
     prior_aln = 1.0 - fraction
-    p_match = 0.5 * (((score_aln + np.float32(3.0) * np.float32(aln_len))
-                      / np.float32(5.0) + np.float32(0.9))
-                     / (aln_len + 1)) + 0.5 * prior_aln
+    a = float(score_aln) + float(np.float32(3.0) * np.float32(aln_len))
+    p_match = 0.5 * ((a / 5.0 + float(np.float32(0.9)))
+                     / float(aln_len + 1)) + 0.5 * prior_aln
     lik_no_match = 1.0 - p_match
     odds_ratio = lik_no_match / match_lik
     odds = (1.0 - p_match) / p_match
@@ -162,13 +191,19 @@ def _ancient_match_count(c: _Cand, consensus: np.ndarray, query_len: int,
         lik = deam[5][qb, tb]
         ct = (qb == 1) & (tb == 3) & (lik > 0)
         ga = (qb == 2) & (tb == 0) & (lik > 0)
+        # the reference accumulates into FLOAT mCT/mGA: each double
+        # posterior is added in double then rounded to f32
+        m_ct = np.float32(0.0)
+        m_ga = np.float32(0.0)
         for m in np.nonzero(ct)[0]:
-            m_ct += _deam_matches(c.aln_len, float(score_aln), float(lik[m]))
+            m_ct = np.float32(float(m_ct) + _deam_matches(
+                c.aln_len, float(score_aln), float(lik[m])))
         for m in np.nonzero(ga)[0]:
-            m_ga += _deam_matches(c.aln_len, float(score_aln), float(lik[m]))
-    return float((np.float32(score_aln) + np.float32(3.0)
-                  * np.float32(c.aln_len_cons)) / np.float32(5.0)) \
-        + m_ct + m_ga
+            m_ga = np.float32(float(m_ga) + _deam_matches(
+                c.aln_len, float(score_aln), float(lik[m])))
+    base = (np.float32(score_aln) + np.float32(3.0)
+            * np.float32(c.aln_len_cons)) / np.float32(5.0)
+    return float((base + np.float32(m_ct)) + np.float32(m_ga))
 
 
 def _native_greedy_contigs(seqdb, aln, pre, iter_ids, qi_arr, cand_rows,
