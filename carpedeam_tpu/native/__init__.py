@@ -134,6 +134,9 @@ def get_lib():
         lib.read_prepass.restype = None
         lib.lik_ratio_ld.argtypes = [_f64p, _ldp, ctypes.c_int64, _f64p]
         lib.lik_ratio_ld.restype = None
+        lib.beta_less_probe.argtypes = [ctypes.c_int64, ctypes.c_double,
+                                        ctypes.c_int64, ctypes.c_double]
+        lib.beta_less_probe.restype = ctypes.c_int
         lib.correction_groups.argtypes = [
             _u8p, _i64p, _i64p, _u8p, ctypes.c_int64,
             _i64p, _i32p, _i32p, _u8p, _i32p, _i32p, _i32p, _u8p, _i32p,

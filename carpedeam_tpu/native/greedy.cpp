@@ -111,8 +111,6 @@ struct ReadsLess {  // queue ordered by sLenNorm
     }
 };
 
-// CompareNuclResultByScoreContigs (ancientContigsResults.cpp:25-70), f32
-// steps as in stages/contig_merge.py::_beta_less
 // CompareNuclResultByScoreContigs (ancientContigsResults.cpp:25-70),
 // transcribed with the reference's EXACT overload resolution: libgab.h's
 // `using namespace std` makes lgamma/log of the FLOAT alpha/beta sums
@@ -561,4 +559,15 @@ extern "C" void greedy_contig_rounds(
         1, data, offsets, lengths, keys, n_query, q_ids, row_ptr, R,
         z.data(), z.data(), nullptr, merge_thr, ry_thr, 0.0, 0.0, 0.0,
         max_seq_len, arena, arena_off, out_len);
+}
+
+// Test probe: evaluate the Beta-queue comparator on raw fields (pins the
+// float-lgamma overload transcription; tests/test_contig_phase.py).
+extern "C" int beta_less_probe(int64_t alc1, double deam1,
+                               int64_t alc2, double deam2)
+{
+    Cand a, b;
+    a.aln_len_cons = alc1; a.s1 = deam1;
+    b.aln_len_cons = alc2; b.s1 = deam2;
+    return BetaLess()(&a, &b) ? 1 : 0;
 }

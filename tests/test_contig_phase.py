@@ -78,3 +78,40 @@ def test_golden_full_nuclassemble():
     for i in range(len(result)):
         j = gmap[int(result.keys[i])]
         assert result.seq_str(i) == gold.seq_str(j)
+
+
+def test_beta_comparator_float_lgamma_overloads():
+    """Pins the 5M-scale divergence fix: the reference's Beta-queue
+    comparator (CompareNuclResultByScoreContigs, ancientContigsResults.
+    cpp:25-70) computes lgamma/log of its FLOAT alpha/beta sums as
+    lgammaf/logf (libgab.h `using namespace std`).  For the diverging
+    pair from the 5M bisection — a perfect alc=54 candidate vs an
+    alc=111/deamMatch=110.59506 candidate — the float-lgamma posterior
+    is p = 0.5500137 (> 0.55 -> comparator false) while double lgamma
+    gives 0.5499705 (gray zone -> alnLengthCons tie-break -> true),
+    which flipped a merge pick and one final contig."""
+    import ctypes
+
+    import numpy as np
+
+    from carpedeam_tpu import native
+    from carpedeam_tpu.stages.contig_merge import _Cand, _beta_less
+
+    perfect = _Cand(1, 0, 53, 60, 0, 53, 67, 54, False)
+    perfect.deam_match, perfect.aln_len_cons = 54.0, 54
+    imp = _Cand(2, 0, 110, 260, 84, 194, 195, 111, False)
+    imp.deam_match, imp.aln_len_cons = 110.59506225585938, 111
+    # reference semantics: p > 0.55 for (perfect54, imp) -> NOT less
+    assert _beta_less(perfect, imp) is False
+    assert _beta_less(imp, perfect) is False
+    lib = native.get_lib()
+    if lib is not None:
+        assert lib.beta_less_probe(54, 54.0, 111, 110.59506225585938) == 0
+        assert lib.beta_less_probe(111, 110.59506225585938, 54, 54.0) == 0
+    # double-lgamma would have ordered them: document the distinction
+    import math
+    b1, b2 = np.float32(55.0), np.float32(111.59506225585938)
+    a1 = np.float32(1.0)
+    log_c_f64 = (math.lgamma(float(b1 + b2)) + math.lgamma(float(a1 + b1))) \
+        - (math.lgamma(float(a1 + b1 + b2)) + math.lgamma(float(b1)))
+    assert math.exp(log_c_f64) < 0.55          # double path: gray zone
