@@ -27,7 +27,8 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _SPILL_SNIPPET = r"""
-import atexit, json, os
+import atexit, json, os, sys
+sys.path.insert(0, {root!r})
 def _report_spill():
     try:
         from carpedeam_tpu.parallel.distributed import SPILL_BYTES
@@ -52,7 +53,7 @@ def run(reads, world, tmp, threads_per_rank):
            "CARPEDEAM_SPILL_REPORT": spill_report}
     runner = os.path.join(tmp, "runner.py")
     with open(runner, "w") as fh:
-        fh.write(_SPILL_SNIPPET)
+        fh.write(_SPILL_SNIPPET.format(root=ROOT))
     procs = []
     t0 = time.perf_counter()
     for rank in range(world):
