@@ -51,28 +51,62 @@ def main():
     out = {"backend": backend, "measured_at": time.strftime("%Y-%m-%d"),
            "gather": [], "sort": [], "seq_read": []}
 
+    # K data-dependent iterations inside ONE jitted program, timed with a
+    # scalar pull at the end: robust against tunnel dispatch asynchrony
+    # (block_until_ready through the IFRT proxy returns before execution
+    # completes — raw per-call timings here measured 0.06 ms for 268 MB
+    # gathers, which is physically impossible).  Per-iteration time =
+    # (t_K2 - t_K1) / (K2 - K1), cancelling the constant pull latency.
+    K1, K2 = 2, 10
+
+    def chain_time(make_body, *args):
+        def run(k):
+            f = jax.jit(lambda *a: jax.lax.fori_loop(
+                0, k, make_body(*a), jnp.uint64(0)))
+            float(np.asarray(f(*args)))          # compile + pull
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(np.asarray(f(*args)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        return (run(K2) - run(K1)) / (K2 - K1)
+
     for n in (1 << 20, 1 << 23, 1 << 25):
         table = jnp.asarray(rng.integers(0, 1 << 62, n, dtype=np.uint64))
         idx = jnp.asarray(rng.integers(0, n, n, dtype=np.uint32))
-        f = jax.jit(lambda t, i: jnp.sum(t[i]))
-        t = timeit(lambda: jax.block_until_ready(f(table, idx)))
+
+        def gather_body(t_, i_):
+            def body(_, acc):
+                # accumulate so every iteration depends on the last
+                return acc + t_[(i_ ^ acc.astype(jnp.uint32)
+                                 % jnp.uint32(2))].max()
+            return body
+        t = chain_time(gather_body, table, idx)
         out["gather"].append({"n": n, "s": round(t, 5),
                               "elem_per_s": round(n / t)})
         print(f"gather   n={n:>9}  {t*1e3:8.2f} ms  "
               f"{n/t/1e6:8.1f} M elem/s", flush=True)
 
         keys = jnp.asarray(rng.integers(0, 1 << 62, n, dtype=np.uint64))
-        vals = jnp.asarray(np.arange(n, dtype=np.uint32))
-        g = jax.jit(lambda k, v: jax.lax.sort((k, v), num_keys=1))
-        t = timeit(lambda: jax.block_until_ready(g(keys, vals)))
+
+        def sort_body(k_):
+            def body(_, acc):
+                s = jax.lax.sort(k_ ^ acc, is_stable=False)
+                return s[0] + s[-1]
+            return body
+        t = chain_time(sort_body, keys)
         out["sort"].append({"n": n, "s": round(t, 5),
                             "elem_per_s": round(n / t),
-                            "impl": "jax.lax.sort u64/u32"})
+                            "impl": "jax.lax.sort u64"})
         print(f"dev sort n={n:>9}  {t*1e3:8.2f} ms  "
               f"{n/t/1e6:8.1f} M elem/s", flush=True)
 
-        seq = jax.jit(lambda t_: jnp.sum(t_))
-        ts = timeit(lambda: jax.block_until_ready(seq(table)))
+        def read_body(t_):
+            def body(_, acc):
+                return acc + (t_ ^ acc).max()
+            return body
+        ts = chain_time(read_body, table)
         out["seq_read"].append({"n": n, "s": round(ts, 6),
                                 "gb_per_s": round(n * 8 / ts / 1e9, 1)})
         print(f"seq read n={n:>9}  {ts*1e3:8.2f} ms  "
