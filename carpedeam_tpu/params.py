@@ -84,8 +84,22 @@ class Params:
     # paths are bit-identical (tests/test_device_parity.py).
     use_device: str = "auto"
 
+    # fields the USER explicitly set on the command line.  The reference
+    # applies workflow defaults BEFORE parseParameters
+    # (GuidedNuclassembler.cpp:45 vs :83), so user flags override them;
+    # workflow-default application via `copy_defaults` skips these.
+    explicit: frozenset = frozenset()
+
     def copy(self, **overrides) -> "Params":
         return dataclasses.replace(self, **overrides)
+
+    def copy_defaults(self, **workflow_defaults) -> "Params":
+        """Apply workflow defaults ONLY for fields the user did not set
+        explicitly (the reference's setDefaults-then-parseParameters
+        order: user flags win over workflow defaults)."""
+        ov = {k: v for k, v in workflow_defaults.items()
+              if k not in self.explicit}
+        return dataclasses.replace(self, **ov) if ov else self
 
     def hash(self, *extra) -> str:
         """Parameter fingerprint keying checkpoint/tmp directories, the
@@ -95,7 +109,10 @@ class Params:
         import hashlib
         items = [(f.name, getattr(self, f.name))
                  for f in dataclasses.fields(self)
-                 if f.name != "use_device"]  # impl choice, not semantics
+                 # use_device is an impl choice; `explicit` is parse
+                 # metadata (the resolved field VALUES carry the
+                 # semantics) — neither may change the checkpoint key
+                 if f.name not in ("use_device", "explicit")]
         text = repr(items) + "|" + repr(extra)
         return hashlib.sha1(text.encode()).hexdigest()[:16]
 
@@ -252,4 +269,5 @@ def params_from_args(args: argparse.Namespace) -> Params:
         v = getattr(args, field, None)
         if v is not None:
             over[field] = bool(v) if typ is bool else v
+    over["explicit"] = frozenset(over.keys())
     return p.copy(**over).validate()

@@ -451,8 +451,8 @@ def ancient_assemble(reads: SeqDB, params: Params, damage: DamageModel,
     # (GuidedNuclassembler.cpp:12-31,170-180: numIterations 10 via
     # multiNumIterations.nucleotides, reads-only count stays at the CLI
     # default 5, maxSeqLen 200000)
-    p = params.copy(num_iterations=10, num_iterations_reads=5,
-                    max_seq_len=200000)
+    p = params.copy_defaults(num_iterations=10, num_iterations_reads=5,
+                             max_seq_len=200000)
     assembly, cycle_keys, _ = nuclassemble(
         reads, p, damage,
         tmp_dir=os.path.join(tmp_dir, "nuclassembly_tmp") if tmp_dir else None,

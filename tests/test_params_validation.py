@@ -42,3 +42,26 @@ def test_cli_missing_input_exits_cleanly(capsys):
                "out.fa", "tmp"])
     assert rc == 1
     assert "not found" in capsys.readouterr().err
+
+
+def test_user_flags_override_workflow_defaults():
+    """The reference applies workflow defaults BEFORE parseParameters
+    (GuidedNuclassembler.cpp:45 vs :83), so an explicit --num-iterations
+    12 must survive ancient_assemble's guided overrides."""
+    import argparse
+
+    from carpedeam_tpu.params import Params, add_flags, params_from_args
+
+    ap = argparse.ArgumentParser()
+    add_flags(ap)
+    args = ap.parse_args(["--num-iterations", "12", "--unsafe", "1"])
+    p = params_from_args(args)
+    assert "num_iterations" in p.explicit
+    g = p.copy_defaults(num_iterations=10, num_iterations_reads=5,
+                        max_seq_len=200000)
+    assert g.num_iterations == 12          # user flag wins
+    assert g.num_iterations_reads == 5     # workflow default applies
+    assert g.max_seq_len == 200000
+    # and the checkpoint hash ignores the parse metadata
+    q = p.copy(explicit=frozenset())
+    assert p.hash() == q.hash()
