@@ -164,9 +164,16 @@ def main():
     for k, v in best.items():
         print(f"# {k}: {v:.3f}s", file=sys.stderr)
     from carpedeam_tpu.utils import coverage_summary
-    for stage, d in coverage_summary().items():
+    cov = coverage_summary()
+    for stage, d in cov.items():
         print(f"# device-coverage {stage}: {d['device_pct']}% "
               f"({d['device']}/{d['total']} records)", file=sys.stderr)
+    cov_out = os.environ.get("CARPEDEAM_COVERAGE_JSON")
+    if cov_out:
+        with open(cov_out, "w") as fh:
+            json.dump({"reads": n_reads, "coverage": cov,
+                       "measured_at": time.strftime("%Y-%m-%d")},
+                      fh, indent=1)
     value = total_len / best["total"]
     out = {
         "metric": "hot_path_4stage_residues_per_s",

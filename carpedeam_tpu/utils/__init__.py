@@ -71,13 +71,27 @@ class StageTimer:
     def add(self, name: str, secs: float) -> None:
         self.records.append((name, secs))
         if self._log:
-            self._log(f"{name}: {secs:.3f}s")
+            self._log(f"{name}: {secs:.3f}s{_rss_suffix()}")
 
     def summary(self) -> dict:
         out: dict[str, float] = {}
         for name, secs in self.records:
             out[name] = out.get(name, 0.0) + secs
         return out
+
+
+def _rss_suffix() -> str:
+    """' [rss now/peak GB]' for stage logs — the footprint attribution
+    the reference gets from its 1-byte-per-residue design doc
+    (README.md:89-91); /proc is Linux-only, degrade to empty."""
+    try:
+        with open("/proc/self/status") as fh:
+            txt = fh.read()
+        now = int(txt.split("VmRSS:")[1].split()[0]) / 1e6
+        peak = int(txt.split("VmHWM:")[1].split()[0]) / 1e6
+        return f"  [rss {now:.1f}/{peak:.1f} GB]"
+    except Exception:
+        return ""
 
 
 class _StageScope:

@@ -70,7 +70,16 @@ def main():
                 float(np.asarray(f(*args)))
                 best = min(best, time.perf_counter() - t0)
             return best
-        return (run(K2) - run(K1)) / (K2 - K1)
+        # Adaptive spread: a fast kernel's K2-K1 delta can sit below the
+        # ~23 ms constant pull-latency noise and come out negative; widen
+        # the iteration count until the delta clearly exceeds the noise.
+        k2 = K2
+        while k2 <= 5120:
+            delta = run(k2) - run(K1)
+            if delta > 0.015 * (1 if k2 == K2 else 2):
+                return delta / (k2 - K1)
+            k2 *= 4
+        return max(delta, 0.0) / (k2 // 4 - K1)
 
     for n in (1 << 20, 1 << 23, 1 << 25):
         table = jnp.asarray(rng.integers(0, 1 << 62, n, dtype=np.uint64))
