@@ -35,23 +35,32 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_BIN = os.path.join(ROOT, ".refbuild", "src", "carpedeam")
 DAMAGE = "/root/reference/example/dhigh"
 
-FLAGS = ["--ancient-damage", DAMAGE, "--unsafe",
+FLAGS = ["--ancient-damage", DAMAGE, "--unsafe", "1",
          "--min-merge-seq-id", "0.97", "--num-iterations", "12",
          "--threads", "2"]
 
 
+_RUSAGE_WRAP = (
+    "import resource,subprocess,sys;"
+    "r=subprocess.run(sys.argv[1:]).returncode;"
+    "print('PEAK_RSS_KB',resource.getrusage("
+    "resource.RUSAGE_CHILDREN).ru_maxrss,file=sys.stderr);"
+    "sys.exit(r)")
+
+
 def run_timed(cmd, log_path):
-    """Run under /usr/bin/time -v; return (wall_s, peak_rss_gb)."""
+    """Run via an isolated Python parent that reports the child tree's
+    peak RSS from getrusage(RUSAGE_CHILDREN) (no /usr/bin/time on this
+    box); return (wall_s, peak_rss_gb)."""
     t0 = time.perf_counter()
     with open(log_path, "w") as log:
-        subprocess.run(["/usr/bin/time", "-v", *cmd], check=True,
-                       stdout=log, stderr=log, cwd=ROOT,
+        subprocess.run([sys.executable, "-c", _RUSAGE_WRAP, *cmd],
+                       check=True, stdout=log, stderr=log, cwd=ROOT,
                        env={**os.environ, "JAX_PLATFORMS": "cpu"})
     wall = time.perf_counter() - t0
     rss_kb = 0
     with open(log_path) as fh:
-        m = re.search(r"Maximum resident set size \(kbytes\): (\d+)",
-                      fh.read())
+        m = re.search(r"PEAK_RSS_KB (\d+)", fh.read())
         if m:
             rss_kb = int(m.group(1))
     return wall, rss_kb / 1e6
