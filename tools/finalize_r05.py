@@ -91,7 +91,8 @@ def main():
     for art in ("BASELINE_CPU.json", "BASELINE_CPU_1M.json",
                 "DEVICE_CHAIN_r05_120k.json", "GATHER_BENCH_r05.json",
                 "KMER_HYBRID_r05.json", "DEEP_CONFIG_r05.json",
-                "SCALE_PAIR_120k.json", "SCALE_PAIR_1m.json"):
+                "SCALE_PAIR_120k.json", "SCALE_PAIR_1m.json",
+                "COVERAGE_r05.json", "COVERAGE_r05_1M_ladders.json"):
         p = os.path.join(_HERE, art)
         if not os.path.exists(p):
             continue
