@@ -39,18 +39,14 @@ def main():
         json_out = sys.argv[sys.argv.index("--json-out") + 1]
 
     rows = []
-    # checkpoint layout: <tmp>/<hash>/nuclassembly_tmp/<hash>/
-    #   assembly_reads_N / assembly_contigs_N sequence DBs per iteration
+    # checkpoint layout: <tmp>/nuclassembly_tmp/<paramhash>/
+    #   assembly_reads_N.npz / assembly_contigs_N.npz per iteration
     pats = sorted(glob.glob(os.path.join(
-        tmp, "**", "assembly_*_[0-9]*"), recursive=True))
-    seen = set()
+        tmp, "**", "assembly_*_[0-9]*.npz", ), recursive=True))
     for p in pats:
-        base = os.path.basename(p)
-        if not os.path.exists(p + ".index") or base in seen:
-            continue
-        seen.add(base)
+        base = os.path.basename(p)[:-4]
         try:
-            db = SeqDB.read_mmseqs(p)
+            db = SeqDB.load(p[:-4])
         except Exception:
             continue
         lens = np.asarray(db.lengths)
